@@ -1,0 +1,218 @@
+"""Parameter structs + INI config parsing.
+
+Mirrors the reference parameter surface (``include/EMFusion/core/data.h:32-199``
+and the boost::program_options INI parsing in ``apps/EM-Fusion.cpp:269-371``)
+so that the reference's ``config/*.cfg`` files load unchanged. Defaults equal
+the paper values (``data.h:37-122``).
+
+TPU-specific additions (not in the reference) are grouped at the bottom of
+:class:`Params`: static object-pool sizing and raycast iteration budgets that
+XLA needs as compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class TSDFParams:
+    """TSDF tracking/mapping parameters (reference ``data.h:32-71``)."""
+
+    tau: float = 1e3            # LM identity-prior factor
+    eps1: float = 1e-8          # convergence: gradient of energy small
+    eps2: float = 1e-8          # convergence: small step
+    nu_init: float = 2.0        # LM damping rescale factor
+    huberThresh: float = 0.2    # Huber delta (relative to truncation dist)
+    maxTSDFWeight: float = 64.0 # integration weight cap
+    assocSigma: float = 0.02    # Laplace sigma for association likelihood
+    alpha: float = 0.8          # mixture weight: alpha*laplace+(1-alpha)*uni
+    uniPrior: float = 1.0       # uniform prior value
+
+
+# Classes never treated as dynamic objects (reference ``data.h:116-120``).
+DEFAULT_STATIC_OBJECTS = [
+    "traffic light", "fire hydrant", "stop sign", "parking meter", "bench",
+    "couch", "potted plant", "bed", "dining table", "toilet", "oven", "sink",
+    "refrigerator",
+]
+
+
+@dataclass
+class Params:
+    """Processing parameters (reference ``data.h:76-199``).
+
+    Field names intentionally match the reference so its INI config files
+    parse 1:1.
+    """
+
+    frameSize: Tuple[int, int] = (640, 480)  # (width, height)
+
+    # Intrinsics: fx, fy, cx, cy (reference stores a 3x3; same content)
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+
+    bilateral_sigma_depth: float = 0.04   # meters
+    bilateral_sigma_spatial: float = 4.5  # pixels
+    bilateral_kernel_size: int = 7
+
+    globalVolumeDims: Tuple[int, int, int] = (512, 512, 512)
+    globalVoxelSize: float = 0.01
+    globalRelTruncDist: float = 10.0
+    objVolumeDims: Tuple[int, int, int] = (64, 64, 64)
+    objRelTruncDist: float = 10.0
+
+    # Initial background volume pose: translation of volume center in camera
+    # frame (reference ``data.h:103``; config key ``volumePose`` = 3 floats).
+    volumePose: Tuple[float, float, float] = (0.0, 0.0, 2.56)
+
+    volPad: float = 2.0
+    maxTrackingIter: int = 100
+    maskRCNNFrames: int = 30
+    existenceThresh: float = 0.1
+    volIOUThresh: float = 0.5
+    matchIOUThresh: float = 0.2
+    distanceThresh: float = 5.0
+    visibilityThresh: int = 1600
+    assocThresh: float = 0.1
+    boundary: int = 20
+
+    tsdfParams: TSDFParams = field(default_factory=TSDFParams)
+
+    FILTER_CLASSES: List[str] = field(default_factory=list)
+    STATIC_OBJECTS: List[str] = field(
+        default_factory=lambda: list(DEFAULT_STATIC_OBJECTS))
+    ignore_person: bool = False
+
+    # ---- TPU-native additions (static shapes for XLA) ----
+    # Maximum number of live object volumes in the batched object pool.
+    max_objects: int = 16
+    # Object volumes keep a FIXED grid resolution; "resize" rescales the
+    # voxel size and resamples (design deviation from reference
+    # ``ObjTSDF.cpp:80-165`` which grows the grid; documented in README).
+    # Per-ray iteration budget for the vectorized raycast while-loop.
+    raycast_max_steps: int = 2048
+    # Maximum vertices/triangles emitted by marching cubes (static output).
+    mc_max_verts: int = 3_000_000
+
+    @property
+    def intr(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx],
+             [0.0, self.fy, self.cy],
+             [0.0, 0.0, 1.0]], dtype=np.float32)
+
+    @property
+    def width(self) -> int:
+        return self.frameSize[0]
+
+    @property
+    def height(self) -> int:
+        return self.frameSize[1]
+
+    @property
+    def global_truncdist(self) -> float:
+        return self.globalRelTruncDist * self.globalVoxelSize
+
+    def volume_pose_matrix(self) -> np.ndarray:
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = np.asarray(self.volumePose, dtype=np.float32)
+        return m
+
+
+def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
+                 values: List[str]) -> None:
+    """Apply one INI entry onto the param structs.
+
+    Section/key naming follows the reference config format
+    (``apps/EM-Fusion.cpp:269-371``): sections ``[Params]``,
+    ``[Params.intr]``, ``[Params.tsdfParams]``, ``[Params.MaskRCNNParams]``.
+    """
+    v = values[-1]  # scalar keys: last assignment wins
+    if section == "Params.intr":
+        if key in ("fx", "fy", "cx", "cy"):
+            setattr(params, key, float(v))
+        return
+    if section == "Params.tsdfParams":
+        if hasattr(tsdf, key):
+            setattr(tsdf, key, float(v))
+        return
+    if section == "Params.MaskRCNNParams":
+        if key == "FILTER_CLASSES":
+            params.FILTER_CLASSES = list(values)
+        elif key == "STATIC_OBJECTS":
+            params.STATIC_OBJECTS = list(values)
+        return
+    if section != "Params":
+        return
+
+    if key == "frameSize":
+        w, h = v.split()
+        params.frameSize = (int(w), int(h))
+    elif key in ("globalVolumeDims", "objVolumeDims"):
+        setattr(params, key, tuple(int(x) for x in v.split()))
+    elif key == "volumePose":
+        parts = [float(x) for x in v.split()]
+        if len(parts) == 3:
+            params.volumePose = tuple(parts)
+        else:
+            raise ValueError("volumePose expects 3 floats (translation)")
+    elif key == "ignore_person":
+        params.ignore_person = v.strip().lower() in ("yes", "true", "1", "on")
+    elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",
+                 "visibilityThresh", "boundary", "max_objects",
+                 "raycast_max_steps", "mc_max_verts"):
+        setattr(params, key, int(v))
+    elif hasattr(params, key):
+        setattr(params, key, float(v))
+
+
+def load_config(path: str, base: Optional[Params] = None) -> Params:
+    """Parse a reference-format INI config file into :class:`Params`.
+
+    Supports repeated keys (STATIC_OBJECTS lists), ``#`` comments, and the
+    multi-token values used by the reference configs. Values not present keep
+    their defaults (or the values from ``base``).
+    """
+    params = dataclasses.replace(base) if base is not None else Params()
+    tsdf = dataclasses.replace(params.tsdfParams)
+    section = "Params"
+    pending: dict = {}
+
+    with open(path, "r") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].split(";", 1)[0].strip()
+            if not line:
+                continue
+            if line.startswith("[") and line.endswith("]"):
+                for (sec, key), vals in pending.items():
+                    _parse_value(params, tsdf, sec, key, vals)
+                pending = {}
+                section = line[1:-1].strip()
+                continue
+            if "=" not in line:
+                continue
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            pending.setdefault((section, key), []).append(val)
+
+    for (sec, key), vals in pending.items():
+        _parse_value(params, tsdf, sec, key, vals)
+
+    params.tsdfParams = tsdf
+    return params
+
+
+def load_calibration(path: str, params: Params) -> Params:
+    """Override intrinsics from a dataset ``calibration.txt`` (fx fy cx cy),
+    mirroring ``apps/EM-Fusion.cpp:401-411``."""
+    with open(path) as f:
+        vals = f.read().split()
+    fx, fy, cx, cy = (float(x) for x in vals[:4])
+    return dataclasses.replace(params, fx=fx, fy=fy, cx=cx, cy=cy)

@@ -1,0 +1,168 @@
+"""Projective TSDF fusion + gradient volumes + fg/bg evidence counting.
+
+TPU-native equivalents of ``kernel_updateTSDF`` (``src/core/cuda/TSDF.cu:
+327-427``), ``kernel_computeTSDFGrads`` (``TSDF.cu:429-464``) and
+``kernel_updateFgBgProbs`` (``src/core/cuda/ObjTSDF.cu:29-107``).
+
+All three are voxel-parallel maps with a single gather from image space —
+ideal XLA programs: the coordinate streams are fused iotas, the only memory
+traffic is the volume read/write (HBM-bandwidth-bound) plus one image gather.
+A Pallas fused variant lives in ``ops/pallas/``; these jnp versions are the
+reference semantics and the fallback path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _voxel_cam_coords(res_zyx, voxel_size, rel_rot, rel_trans):
+    """Camera-space position of every voxel center: (Z, Y, X, 3).
+
+    Voxel centers follow the reference convention
+    ``pos = (idx - (res-1)/2) * voxel_size`` (``TSDF.cu:345-349``).
+    XLA fuses the iotas; nothing here materializes except the result of the
+    consuming expression.
+    """
+    Z, Y, X = res_zyx
+    zi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 0)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 2)
+    px = (xi - (X - 1) / 2.0) * voxel_size
+    py = (yi - (Y - 1) / 2.0) * voxel_size
+    pz = (zi - (Z - 1) / 2.0) * voxel_size
+    cx = rel_rot[0, 0] * px + rel_rot[0, 1] * py + rel_rot[0, 2] * pz + rel_trans[0]
+    cy = rel_rot[1, 0] * px + rel_rot[1, 1] * py + rel_rot[1, 2] * pz + rel_trans[1]
+    cz = rel_rot[2, 0] * px + rel_rot[2, 1] * py + rel_rot[2, 2] * pz + rel_trans[2]
+    return cx, cy, cz
+
+
+def _project_gather(img: jnp.ndarray, pix_x: jnp.ndarray, pix_y: jnp.ndarray,
+                    in_frame: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[(py, px)] with clamped indices; caller masks validity."""
+    H, W = img.shape
+    pxc = jnp.clip(pix_x, 0, W - 1)
+    pyc = jnp.clip(pix_y, 0, H - 1)
+    flat = pyc * W + pxc
+    return jnp.take(img.reshape(-1), flat)
+
+
+def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
+                   depth: jnp.ndarray, assoc_weights: jnp.ndarray,
+                   rel_rot_oc: jnp.ndarray, rel_trans_oc: jnp.ndarray,
+                   intr: jnp.ndarray, voxel_size, truncdist,
+                   max_weight: float):
+    """Weighted projective TSDF fusion with association weights.
+
+    Faithful to ``kernel_updateTSDF`` semantics including the carving rules:
+      * voxel behind the camera or projecting to invalid depth, with weight
+        0: tsdf reset to 0 (raycast-artifact avoidance, ``TSDF.cu:351-372``);
+      * sdf < -truncdist (occluded beyond trunc band) with weight 0:
+        tsdf set to -1 (``TSDF.cu:398-400``);
+      * within band: running weighted average with the per-pixel association
+        weight as integration weight (weight 1.0 in free space beyond
+        +truncdist), capped at ``max_weight`` (``TSDF.cu:382-397``).
+
+    Returns (tsdf, weights) updated.
+    """
+    Z, Y, X = tsdf.shape
+    H, W = depth.shape
+    fx, fy = intr[0, 0], intr[1, 1]
+    cx, cy = intr[0, 2], intr[1, 2]
+
+    ccx, ccy, ccz = _voxel_cam_coords((Z, Y, X), voxel_size, rel_rot_oc,
+                                      rel_trans_oc)
+
+    in_front = ccz > 0.0
+    zsafe = jnp.where(in_front, ccz, 1.0)
+    pix_x = jnp.round(ccx * fx / zsafe + cx).astype(jnp.int32)
+    pix_y = jnp.round(ccy * fy / zsafe + cy).astype(jnp.int32)
+    in_frame = (pix_x >= 0) & (pix_x < W) & (pix_y >= 0) & (pix_y < H)
+
+    depth_val = _project_gather(depth, pix_x, pix_y, in_frame)
+    assoc_val = _project_gather(assoc_weights, pix_x, pix_y, in_frame)
+
+    valid = in_front & in_frame & (depth_val > 0.0)
+
+    # sdf = depth - |pos_cam| / lambda, lambda = |unproject(pix, 1)|
+    ux = (pix_x.astype(jnp.float32) - cx) / fx
+    uy = (pix_y.astype(jnp.float32) - cy) / fy
+    lam = jnp.sqrt(ux * ux + uy * uy + 1.0)
+    norm_cam = jnp.sqrt(ccx * ccx + ccy * ccy + ccz * ccz)
+    sdf = depth_val - norm_cam / lam
+
+    in_band = valid & (sdf >= -truncdist)
+    tsdf_meas = jnp.sign(sdf) * jnp.minimum(1.0, jnp.abs(sdf) / truncdist)
+    new_w = jnp.where(sdf < truncdist, assoc_val, 1.0)
+
+    denom = weights + new_w
+    do_update = in_band & (denom > 0.0)
+    fused = (weights * tsdf + new_w * tsdf_meas) / jnp.where(do_update, denom,
+                                                             1.0)
+    tsdf_out = jnp.where(do_update, fused, tsdf)
+    weights_out = jnp.where(do_update, jnp.minimum(denom, max_weight), weights)
+
+    # Carve: behind trunc band and never-seen voxel -> -1
+    carve = valid & (sdf < -truncdist) & (weights == 0.0)
+    tsdf_out = jnp.where(carve, -1.0, tsdf_out)
+
+    # Reset unseen voxels that project invalid (behind camera / no depth /
+    # off-frame keeps previous value except the two weight==0 reset rules).
+    reset = (weights == 0.0) & in_frame & in_front & (depth_val <= 0.0)
+    reset |= (weights == 0.0) & ~in_front
+    tsdf_out = jnp.where(reset, 0.0, tsdf_out)
+
+    return tsdf_out, weights_out
+
+
+def compute_gradients(tsdf: jnp.ndarray) -> jnp.ndarray:
+    """Forward-difference gradient volume (Z, Y, X, 3), channels (gx, gy, gz)
+    in voxel units; last slice along each axis is zero
+    (``kernel_computeTSDFGrads``, ``TSDF.cu:429-464``)."""
+    Z, Y, X = tsdf.shape
+    gx = jnp.zeros_like(tsdf).at[:, :, :-1].set(tsdf[:, :, 1:] - tsdf[:, :, :-1])
+    gy = jnp.zeros_like(tsdf).at[:, :-1, :].set(tsdf[:, 1:, :] - tsdf[:, :-1, :])
+    gz = jnp.zeros_like(tsdf).at[:-1, :, :].set(tsdf[1:, :, :] - tsdf[:-1, :, :])
+    # reference zeroes the full boundary slab (kernel guard is on any axis)
+    mask = jnp.ones((Z, Y, X), dtype=bool)
+    mask = mask.at[-1, :, :].set(False)
+    mask = mask.at[:, -1, :].set(False)
+    mask = mask.at[:, :, -1].set(False)
+    g = jnp.stack([gx, gy, gz], axis=-1)
+    return jnp.where(mask[..., None], g, 0.0)
+
+
+def integrate_fg_mask(tsdf: jnp.ndarray, weights: jnp.ndarray,
+                      fg_counts: jnp.ndarray, mask: jnp.ndarray,
+                      occluded_mask: jnp.ndarray, rel_rot_oc: jnp.ndarray,
+                      rel_trans_oc: jnp.ndarray, intr: jnp.ndarray,
+                      voxel_size) -> jnp.ndarray:
+    """Per-voxel fg/bg evidence counting from a segmentation mask.
+
+    Matches ``kernel_updateFgBgProbs`` (``ObjTSDF.cu:29-107``): only voxels
+    with ``|tsdf| < 1`` and weight > 0 projecting to a non-occluded pixel in
+    frame accumulate ``fg += mask``, ``bg += 1 - mask``.
+    """
+    Z, Y, X = tsdf.shape
+    H, W = mask.shape
+    fx, fy = intr[0, 0], intr[1, 1]
+    cx, cy = intr[0, 2], intr[1, 2]
+
+    ccx, ccy, ccz = _voxel_cam_coords((Z, Y, X), voxel_size, rel_rot_oc,
+                                      rel_trans_oc)
+    in_front = ccz > 0.0
+    zsafe = jnp.where(in_front, ccz, 1.0)
+    pix_x = jnp.round(ccx * fx / zsafe + cx).astype(jnp.int32)
+    pix_y = jnp.round(ccy * fy / zsafe + cy).astype(jnp.int32)
+    in_frame = (pix_x >= 0) & (pix_x < W) & (pix_y >= 0) & (pix_y < H)
+
+    m = _project_gather(mask.astype(jnp.float32), pix_x, pix_y, in_frame)
+    occ = _project_gather(occluded_mask.astype(jnp.float32), pix_x, pix_y,
+                          in_frame)
+
+    update = (jnp.abs(tsdf) < 1.0) & (weights > 0.0) & in_front & in_frame \
+        & (occ == 0.0)
+    fg = fg_counts[..., 0] + jnp.where(update, m, 0.0)
+    bg = fg_counts[..., 1] + jnp.where(update, 1.0 - m, 0.0)
+    return jnp.stack([fg, bg], axis=-1)

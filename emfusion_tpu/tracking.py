@@ -1,0 +1,199 @@
+"""Direct SDF-gradient Levenberg-Marquardt pose tracking, device-resident.
+
+TPU-native redesign of the reference tracking state machine
+(``src/core/TSDF.cpp:170-344`` + ``EMFusion::performTracking``,
+``src/core/EMFusion.cpp:672-724``). The reference runs up to 100 LM
+iterations with a GPU->CPU download *per iteration* (``reduceHessians``,
+``TSDF.cpp:274-282``) and solves the 6x6 system on the host with Sophus.
+Here the whole loop — residual sampling, Jacobian assembly, Huber/
+integration/association weight combination, the 6x6 normal equations
+(one (6,N)x(N,6) matmul instead of per-pixel 36-element outer products +
+column reduce), the LM accept/reject damping logic and the SE(3) update —
+runs inside a single ``lax.while_loop`` with on-device convergence flags.
+Batched over the object pool with ``vmap`` (the analogue of the reference's
+per-object CUDA streams with stage interleaving).
+
+LM semantics preserved exactly:
+  * ``mu = tau * max(diag(A))`` on the first iteration (``TSDF.cpp:289-294``)
+  * gradient-convergence ``max|b| < eps1`` (``:279-282``)
+  * step-convergence ``|x| < eps2 (|log(rel_pose)| + eps2)`` (``:297-301``)
+  * gain ratio ``rho = (err - err_new) / (0.5 x^T (mu x + b))`` with
+    ``mu *= max(1/3, 1-(2 rho-1)^3)`` on accept, ``mu *= nu; nu *= nu_init``
+    and gradient reuse (``evaluateGradient=false``) on reject (``:318-335``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from emfusion_tpu.geometry.sampling import sample_volume_at_points
+from emfusion_tpu.geometry.se3 import se3_exp, se3_log
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackConfig:
+    """Static LM parameters (reference ``TSDFParams``, ``data.h:32-71``)."""
+    tau: float = 1e3
+    eps1: float = 1e-8
+    eps2: float = 1e-8
+    nu_init: float = 2.0
+    huber_thresh: float = 0.2
+    max_tsdf_weight: float = 64.0
+    max_iter: int = 100
+
+
+class _LMState(NamedTuple):
+    R: jnp.ndarray          # (3,3) rel_pose_CO rotation
+    t: jnp.ndarray          # (3,)  rel_pose_CO translation
+    mu: jnp.ndarray
+    nu: jnp.ndarray
+    first: jnp.ndarray      # bool
+    eval_grad: jnp.ndarray  # bool
+    converged: jnp.ndarray  # bool
+    J: jnp.ndarray          # (N,6)
+    w: jnp.ndarray          # (N,)
+    A: jnp.ndarray          # (6,6)
+    b: jnp.ndarray          # (6,)
+    it: jnp.ndarray
+
+
+def _sample_tsdf(tsdf, points, R, t, voxel_size):
+    return sample_volume_at_points(tsdf, points, R, t, voxel_size, margin=1)
+
+
+def _pose_mat(R, t):
+    top = jnp.concatenate([R, t[:, None]], axis=1)
+    return jnp.concatenate(
+        [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=R.dtype)], axis=0)
+
+
+def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
+                 voxel_size, points: jnp.ndarray, assoc: jnp.ndarray,
+                 rel_pose_co: jnp.ndarray, cfg: TrackConfig,
+                 active=True):
+    """Run the LM loop for one volume.
+
+    Args:
+      tsdf/weights: (Z, Y, X); grads: (Z, Y, X, 3) (voxel units).
+      points: (N, 3) camera-space points (invalid ones have z <= 0).
+      assoc: (N,) association weights for this model.
+      rel_pose_co: (4, 4) initial camera-to-object transform (caller should
+        have re-orthonormalized it, see ``geometry.se3.reorthonormalize``).
+      active: scalar bool — False short-circuits (used by vmapped pool).
+
+    Returns (rel_pose_co_final (4,4), stats dict).
+    """
+    N = points.shape[0]
+    f32 = jnp.float32
+
+    def eval_system(R, t):
+        """Jacobian rows, residuals and combined weights at a pose."""
+        psi = _sample_tsdf(tsdf, points, R, t, voxel_size)
+        # J translation part: trilinear grad / voxel size, margin 2
+        # (``kernel_computePoseGradients``, TSDF.cu:603-660)
+        g3 = sample_volume_at_points(grads, points, R, t, voxel_size,
+                                     margin=2) / voxel_size
+        p = points @ R.T + t
+        grad_r = jnp.cross(p, g3)
+        J = jnp.concatenate([g3, grad_r], axis=-1)
+
+        intw = sample_volume_at_points(weights, points, R, t, voxel_size,
+                                       margin=1)
+        abs_psi = jnp.abs(psi)
+        # cv::cuda::divide defines x/0 = 0, so psi==0 pixels get weight 0
+        huber = jnp.where(abs_psi > 0,
+                          jnp.minimum(cfg.huber_thresh / jnp.maximum(abs_psi,
+                                                                     1e-30),
+                                      1.0), 0.0)
+        intw = jnp.minimum(intw, cfg.max_tsdf_weight)
+        wmax = jnp.max(intw)
+        intw = jnp.where(wmax > 0, intw / wmax, 0.0)
+        w = huber * intw * assoc
+        return psi, J, w
+
+    def build_normal_eqs(J, w, psi):
+        Jw = J * w[:, None]
+        A = Jw.T @ J
+        b = Jw.T @ psi
+        return A, b
+
+    def body(s: _LMState) -> _LMState:
+        psi = _sample_tsdf(tsdf, points, s.R, s.t, voxel_size)
+
+        def do_eval(_):
+            psi_e, J, w = eval_system(s.R, s.t)
+            A, b = build_normal_eqs(J, w, psi_e)
+            conv = jnp.max(jnp.abs(b)) < cfg.eps1
+            return J, w, A, b, s.converged | conv
+
+        def no_eval(_):
+            return s.J, s.w, s.A, s.b, s.converged
+
+        J, w, A, b, converged = jax.lax.cond(
+            s.eval_grad & ~s.converged, do_eval, no_eval, None)
+
+        def pose_update(_):
+            mu0 = jnp.where(s.first, cfg.tau * jnp.max(jnp.diag(A)), s.mu)
+            x = jnp.linalg.solve(A + mu0 * jnp.eye(6, dtype=f32), b)
+            rel_vec = se3_log(_pose_mat(s.R, s.t))
+            step_conv = jnp.linalg.norm(x) < cfg.eps2 * (
+                jnp.linalg.norm(rel_vec) + cfg.eps2)
+
+            err = jnp.sum(w * psi * psi)
+            dT = se3_exp(-x)
+            R_new = dT[:3, :3] @ s.R
+            t_new = dT[:3, :3] @ s.t + dT[:3, 3]
+            psi_new = _sample_tsdf(tsdf, points, R_new, t_new, voxel_size)
+            err_new = jnp.sum(w * psi_new * psi_new)
+            gain = 0.5 * jnp.dot(x, mu0 * x + b)
+            rho = (err - err_new) / jnp.where(jnp.abs(gain) > 1e-30, gain,
+                                              1e-30)
+            accept = rho > 0
+
+            rho_fac = 1.0 - (2.0 * rho - 1.0) ** 3
+            mu_acc = mu0 * jnp.maximum(1.0 / 3.0, rho_fac)
+            mu_rej = mu0 * s.nu
+            nu_new = jnp.where(accept, cfg.nu_init, s.nu * cfg.nu_init)
+
+            do_step = ~step_conv
+            return (
+                jnp.where(do_step & accept, R_new, s.R),
+                jnp.where(do_step & accept, t_new, s.t),
+                jnp.where(do_step, jnp.where(accept, mu_acc, mu_rej), mu0),
+                jnp.where(do_step, nu_new, s.nu),
+                jnp.asarray(False),
+                jnp.where(do_step, accept, s.eval_grad),
+                converged | step_conv,
+            )
+
+        def no_update(_):
+            return (s.R, s.t, s.mu, s.nu, s.first, s.eval_grad, converged)
+
+        R, t, mu, nu, first, eval_grad, converged2 = jax.lax.cond(
+            converged, no_update, pose_update, None)
+
+        return _LMState(R=R, t=t, mu=mu, nu=nu, first=first,
+                        eval_grad=eval_grad, converged=converged2,
+                        J=J, w=w, A=A, b=b, it=s.it + 1)
+
+    def cond(s: _LMState):
+        return (s.it < cfg.max_iter) & ~s.converged
+
+    init = _LMState(
+        R=rel_pose_co[:3, :3], t=rel_pose_co[:3, 3],
+        mu=jnp.asarray(0.0, f32), nu=jnp.asarray(cfg.nu_init, f32),
+        first=jnp.asarray(True), eval_grad=jnp.asarray(True),
+        converged=jnp.asarray(~jnp.asarray(active, bool)),
+        J=jnp.zeros((N, 6), f32), w=jnp.zeros((N,), f32),
+        A=jnp.eye(6, dtype=f32), b=jnp.zeros((6,), f32),
+        it=jnp.int32(0))
+
+    final = jax.lax.while_loop(cond, body, init)
+    pose = _pose_mat(final.R, final.t)
+    stats = {"iterations": final.it, "converged": final.converged,
+             "grad_norm": jnp.max(jnp.abs(final.b))}
+    return pose, stats

@@ -1,0 +1,112 @@
+import numpy as np
+import jax.numpy as jnp
+
+from emfusion_tpu.geometry import (
+    trilinear_sample, sample_volume_at_points, world_to_grid, grid_to_world,
+    backproject_depth, preprocess_depth,
+)
+
+
+def numpy_trilerp(vol, v):
+    """Straight NumPy reference of the CUDA interpolateTrilinear."""
+    x, y, z = v
+    x0, y0, z0 = int(np.floor(x)), int(np.floor(y)), int(np.floor(z))
+    fx, fy, fz = x - x0, y - y0, z - z0
+    out = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                       * (fz if dz else 1 - fz))
+                out += wgt * vol[z0 + dz, y0 + dy, x0 + dx]
+    return out
+
+
+def test_trilinear_matches_numpy(rng):
+    vol = rng.randn(6, 7, 8).astype(np.float32)
+    pts = rng.uniform(0.2, 4.5, size=(50, 3)).astype(np.float32)
+    out = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.asarray(pts)))
+    for i in range(50):
+        expect = numpy_trilerp(vol, pts[i])
+        np.testing.assert_allclose(out[i], expect, atol=1e-5)
+
+
+def test_trilinear_at_grid_points(rng):
+    vol = rng.randn(5, 5, 5).astype(np.float32)
+    # exact grid point recovers the voxel value
+    v = jnp.array([[2.0, 3.0, 1.0]])
+    out = np.asarray(trilinear_sample(jnp.asarray(vol), v))
+    np.testing.assert_allclose(out[0], vol[1, 3, 2], atol=1e-6)
+
+
+def test_grid_world_roundtrip():
+    res = (8, 10, 12)
+    v = jnp.array([[1.0, 2.0, 3.0]])
+    p = grid_to_world(v, res, 0.05)
+    v2 = world_to_grid(p, res, 0.05)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-6)
+
+
+def test_sample_volume_invalid_zones(rng):
+    vol = jnp.asarray(rng.rand(8, 8, 8).astype(np.float32) + 1.0)
+    # point behind camera -> 0
+    pts = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 0.0]])
+    out = np.asarray(sample_volume_at_points(
+        vol, pts, jnp.eye(3), jnp.zeros(3), 0.1, margin=1))
+    assert out[0] == 0.0
+    assert out[1] == 0.0  # z == 0 invalid too
+
+    # point far outside the volume -> 0
+    pts = jnp.array([[10.0, 0.0, 1.0]])
+    out = np.asarray(sample_volume_at_points(
+        vol, pts, jnp.eye(3), jnp.zeros(3), 0.1, margin=1))
+    assert out[0] == 0.0
+
+    # point at volume center (grid coord 3.5 each) -> nonzero
+    pts = jnp.array([[0.0, 0.0, 0.5]])
+    rel_t = jnp.array([0.0, 0.0, -0.5])  # maps to origin in volume frame
+    out = np.asarray(sample_volume_at_points(
+        vol, pts, jnp.eye(3), rel_t, 0.1, margin=1))
+    assert out[0] > 0.0
+
+
+def test_margin_semantics(rng):
+    """Reference: valid iff v + margin < res (strict)."""
+    vol = jnp.ones((8, 8, 8))
+    # grid coord exactly 6.5: v+1 = 7.5 < 8 ok for margin 1; v+2 = 8.5 >= 8
+    # fails for margin 2.
+    p = (6.5 - 3.5) * 0.1  # grid 6.5 -> object coord
+    pts = jnp.array([[p, 0.0, 1.0]])
+    rel_t = jnp.array([0.0, 0.0, -1.0])
+    out1 = np.asarray(sample_volume_at_points(vol, pts, jnp.eye(3), rel_t,
+                                              0.1, margin=1))
+    out2 = np.asarray(sample_volume_at_points(vol, pts, jnp.eye(3), rel_t,
+                                              0.1, margin=2))
+    assert out1[0] == 1.0
+    assert out2[0] == 0.0
+
+
+def test_backproject_depth():
+    intr = jnp.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]])
+    depth = jnp.full((48, 64), 2.0)
+    pts = np.asarray(backproject_depth(depth, intr))
+    # center pixel: x=32 -> u=0
+    np.testing.assert_allclose(pts[24, 32], [0, 0, 2.0], atol=1e-5)
+    np.testing.assert_allclose(pts[24, 42], [0.2, 0, 2.0], atol=1e-5)
+
+
+def test_preprocess_depth_flat_region():
+    # constant depth stays constant; zero pixels stay zero
+    depth = np.full((32, 32), 1.5, np.float32)
+    depth[5, 5] = 0.0
+    out = np.asarray(preprocess_depth(jnp.asarray(depth)))
+    assert out[5, 5] == 0.0
+    np.testing.assert_allclose(out[20, 20], 1.5, atol=1e-4)
+
+
+def test_preprocess_depth_edge_preserving():
+    depth = np.full((32, 32), 1.0, np.float32)
+    depth[:, 16:] = 3.0  # sharp step far larger than sigma_depth
+    out = np.asarray(preprocess_depth(jnp.asarray(depth)))
+    np.testing.assert_allclose(out[16, 10], 1.0, atol=1e-3)
+    np.testing.assert_allclose(out[16, 20], 3.0, atol=1e-3)
