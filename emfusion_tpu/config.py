@@ -98,6 +98,9 @@ class Params:
     # ``ObjTSDF.cpp:80-165`` which grows the grid; documented in README).
     # Per-ray iteration budget for the vectorized raycast while-loop.
     raycast_max_steps: int = 2048
+    # Minimum mask size in pixels for a detection to be considered
+    # (reference hardcodes 50*50 in apps/maskrcnn.in.py:181).
+    mask_min_pixels: int = 50 * 50
     # Maximum vertices/triangles emitted by marching cubes (static output).
     mc_max_verts: int = 3_000_000
 

@@ -1,0 +1,850 @@
+"""EM-Fusion pipeline orchestrator.
+
+TPU-native redesign of ``EMFusion`` (``src/core/EMFusion.cpp``,
+``include/EMFusion/core/EMFusion.h``). Differences from the reference are
+architectural, not behavioral:
+
+  * The ``std::list<ObjTSDF>`` of dynamically allocated object volumes with
+    per-object CUDA streams becomes a **fixed-size batched object pool**
+    (static shapes for XLA): stacked ``(K, Z, Y, X)`` arrays with an active
+    mask, processed with ``vmap`` — the analogue of per-object stream
+    concurrency.
+  * The per-frame E-step, camera LM loop, per-object LM loops, raycast
+    compositing and depth integration each run as single jitted programs;
+    there are no per-iteration host round-trips (the reference downloads
+    the 6x6 system every LM iteration, ``src/core/TSDF.cpp:274-282``).
+  * Object "resize" keeps the fixed grid resolution and rescales the voxel
+    size, trilinearly resampling content (the reference grows the grid at
+    fixed voxel size, ``src/core/ObjTSDF.cpp:80-165``); the voxel-aligned
+    recenter offset bookkeeping (``obj_pose_offsets``) is preserved.
+  * Object lifecycle logic (match/spawn/resize/delete) stays host-side at
+    the mask cadence, as in the reference (``EMFusion.cpp:329-558``).
+
+Processing order per frame follows ``EMFusion::processFrame``
+(``EMFusion.cpp:70-129``) exactly: preprocess -> points -> E-step ->
+track(camera) -> E-step -> track(objects) -> E-step -> raycast ->
+store poses -> (mask frame: match/spawn) -> integrate depth -> integrate
+masks -> cleanup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from emfusion_tpu import segmentation as seg_mod
+from emfusion_tpu.config import Params
+from emfusion_tpu.geometry import (
+    backproject_depth, preprocess_depth, pose_inverse, reorthonormalize,
+)
+from emfusion_tpu.geometry.sampling import sample_volume_at_points
+from emfusion_tpu.ops.association import association_weights, \
+    normalize_associations
+from emfusion_tpu.ops.fusion import (
+    integrate_tsdf, compute_gradients, integrate_fg_mask,
+)
+from emfusion_tpu.ops.raycast import raycast_volume
+from emfusion_tpu.ops.render import render_phong, make_colormap
+from emfusion_tpu.tracking import TrackConfig, track_volume
+from emfusion_tpu.volume import fg_probs as compute_fg_probs
+
+
+@struct.dataclass
+class ObjectPool:
+    """Batched object volumes (fixed K slots, static shapes)."""
+    tsdf: jnp.ndarray        # (K, Z, Y, X)
+    weights: jnp.ndarray     # (K, Z, Y, X)
+    grads: jnp.ndarray       # (K, Z, Y, X, 3)
+    fg_counts: jnp.ndarray   # (K, Z, Y, X, 2)
+    pose: jnp.ndarray        # (K, 4, 4) object-to-world
+    voxel_size: jnp.ndarray  # (K,)
+    truncdist: jnp.ndarray   # (K,)
+    active: jnp.ndarray      # (K,) bool
+    visible: jnp.ndarray     # (K,) bool
+    object_id: jnp.ndarray   # (K,) int32 global ids (0 = none)
+    assoc: jnp.ndarray       # (K, H, W) association weights
+
+
+@struct.dataclass
+class PipelineState:
+    bg_tsdf: jnp.ndarray
+    bg_weights: jnp.ndarray
+    bg_grads: jnp.ndarray
+    bg_pose: jnp.ndarray     # (4, 4) constant volume pose
+    bg_assoc: jnp.ndarray    # (H, W)
+    cam_pose: jnp.ndarray    # (4, 4)
+    objs: ObjectPool
+
+
+@dataclasses.dataclass
+class ObjectMeta:
+    """Host-side per-object bookkeeping (reference ``ObjTSDF`` counters)."""
+    ex_count: int = 1        # updateExProb(true) at creation? reference
+    nonex_count: int = 0     # starts exCount=1/nonEx=0 via first match
+    class_probs: Optional[np.ndarray] = None
+    pose_offsets: Dict[int, np.ndarray] = dataclasses.field(
+        default_factory=dict)
+
+    @property
+    def ex_prob(self) -> float:
+        return self.ex_count / max(self.ex_count + self.nonex_count, 1)
+
+
+def _translate(t: np.ndarray) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = t
+    return m
+
+
+class EMFusionPipeline:
+    """Host-facing pipeline driver (the ``EMFusion`` class equivalent)."""
+
+    def __init__(self, params: Params,
+                 mask_provider: Optional[seg_mod.MaskProvider] = None,
+                 save_output: bool = False):
+        self.params = params
+        self.mask_provider = mask_provider
+        self.save_output = save_output
+        self.frame = 0
+        self.H, self.W = params.height, params.width
+        self.K = params.max_objects
+        self.obj_res = params.objVolumeDims[0]
+        self.intr = jnp.asarray(params.intr)
+        self.track_cfg = TrackConfig(
+            tau=params.tsdfParams.tau, eps1=params.tsdfParams.eps1,
+            eps2=params.tsdfParams.eps2, nu_init=params.tsdfParams.nu_init,
+            huber_thresh=params.tsdfParams.huberThresh,
+            max_tsdf_weight=params.tsdfParams.maxTSDFWeight,
+            max_iter=params.maxTrackingIter)
+        self.colormap = make_colormap()
+
+        self.state = self._init_state()
+        self._next_id = 1
+        self.meta: Dict[int, ObjectMeta] = {}
+
+        # trajectory + export storage (reference EMFusion.h:330-468)
+        self.poses: Dict[int, np.ndarray] = {}
+        self.obj_poses: Dict[int, Dict[int, np.ndarray]] = {}
+        self.outputs: Dict[str, dict] = {
+            "bg_assoc_pre": {}, "bg_assoc_post": {},
+            "obj_assoc_pre": {}, "obj_assoc_post": {},
+            "renderings": {}, "masks": {},
+        }
+        # last raycast results (host copies of what render() needs)
+        self._last_raycast = None
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    def _init_state(self) -> PipelineState:
+        p = self.params
+        X, Y, Z = p.globalVolumeDims
+        Xo = Yo = Zo = self.obj_res
+        K, H, W = self.K, self.H, self.W
+        f32 = jnp.float32
+        objs = ObjectPool(
+            tsdf=jnp.zeros((K, Zo, Yo, Xo), f32),
+            weights=jnp.zeros((K, Zo, Yo, Xo), f32),
+            grads=jnp.zeros((K, Zo, Yo, Xo, 3), f32),
+            fg_counts=jnp.zeros((K, Zo, Yo, Xo, 2), f32),
+            pose=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+            voxel_size=jnp.ones((K,), f32),
+            truncdist=jnp.ones((K,), f32),
+            active=jnp.zeros((K,), bool),
+            visible=jnp.zeros((K,), bool),
+            object_id=jnp.zeros((K,), jnp.int32),
+            assoc=jnp.zeros((K, H, W), f32),
+        )
+        return PipelineState(
+            bg_tsdf=jnp.zeros((Z, Y, X), f32),
+            bg_weights=jnp.zeros((Z, Y, X), f32),
+            bg_grads=jnp.zeros((Z, Y, X, 3), f32),
+            bg_pose=jnp.asarray(p.volume_pose_matrix()),
+            bg_assoc=jnp.ones((H, W), f32),   # EMFusion.cpp:55
+            cam_pose=jnp.eye(4, dtype=f32),
+            objs=objs,
+        )
+
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        p = self.params
+        tsdfp = p.tsdfParams
+        intr = self.intr
+        H, W, K = self.H, self.W, self.K
+        bg_trunc = p.global_truncdist
+        bg_voxel = p.globalVoxelSize
+        cfg = self.track_cfg
+        max_steps = p.raycast_max_steps
+
+        def estep(state: PipelineState, points):
+            """computeAssociationWeights (EMFusion.cpp:635-670)."""
+            rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
+            bg_w, _ = association_weights(
+                state.bg_tsdf, points, rel_bg[:3, :3], rel_bg[:3, 3],
+                bg_voxel, bg_trunc, tsdfp.assocSigma, tsdfp.alpha,
+                tsdfp.uniPrior)
+
+            def obj_assoc(tsdf, fgc, pose, vs, td):
+                rel = pose_inverse(pose) @ state.cam_pose
+                fgvol = compute_fg_probs(fgc)
+                w, _ = association_weights(
+                    tsdf, points, rel[:3, :3], rel[:3, 3], vs, td,
+                    tsdfp.assocSigma, tsdfp.alpha, tsdfp.uniPrior,
+                    fg_prob_vol=fgvol)
+                return w
+
+            o = state.objs
+            obj_w = jax.vmap(obj_assoc)(o.tsdf, o.fg_counts, o.pose,
+                                        o.voxel_size, o.truncdist)
+            bg_n, obj_n = normalize_associations(bg_w, obj_w, o.active)
+            return state.replace(bg_assoc=bg_n,
+                                 objs=o.replace(assoc=obj_n))
+
+        def track_all(state: PipelineState, points):
+            """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
+            then all objects batched."""
+            pts = points.reshape(-1, 3)
+            rel_init = reorthonormalize(
+                pose_inverse(state.bg_pose) @ state.cam_pose)
+            rel, _ = track_volume(
+                state.bg_tsdf, state.bg_grads, state.bg_weights, bg_voxel,
+                pts, state.bg_assoc.reshape(-1), rel_init, cfg)
+            cam_pose = state.bg_pose @ rel
+            state = state.replace(cam_pose=cam_pose)
+
+            state = estep(state, points)
+
+            o = state.objs
+
+            def track_obj(tsdf, grads, weights, vs, pose, assoc, active):
+                rel_i = reorthonormalize(pose_inverse(pose) @ cam_pose)
+                rel_o, _ = track_volume(tsdf, grads, weights, vs, pts,
+                                        assoc.reshape(-1), rel_i, cfg,
+                                        active=active)
+                # ObjTSDF::syncTrack: pose = cam_pose * rel^-1
+                return cam_pose @ pose_inverse(rel_o)
+
+            new_poses = jax.vmap(track_obj)(
+                o.tsdf, o.grads, o.weights, o.voxel_size, o.pose, o.assoc,
+                o.active)
+            new_poses = jnp.where(o.active[:, None, None], new_poses, o.pose)
+            return state.replace(objs=o.replace(pose=new_poses))
+
+        def raycast_all(state: PipelineState):
+            """EMFusion::raycast (EMFusion.cpp:726-795): parallel raycasts +
+            nearest-surface composite + bg override + visibility."""
+            rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
+            bg_rc = raycast_volume(
+                state.bg_tsdf, state.bg_grads, state.bg_weights,
+                rel_bg[:3, :3], rel_bg[:3, 3], intr, bg_voxel, bg_trunc,
+                H, W, max_steps=max_steps)
+
+            o = state.objs
+
+            def obj_rc_fn(tsdf, grads, weights, fgc, pose, vs, td):
+                rel = pose_inverse(pose) @ state.cam_pose
+                fgvol = compute_fg_probs(fgc)
+                rc_weights = jnp.where(fgvol > 0.5, weights, 0.0)
+                return raycast_volume(tsdf, grads, rc_weights, rel[:3, :3],
+                                      rel[:3, 3], intr, vs, td, H, W,
+                                      max_steps=max_steps)
+
+            obj_rc = jax.vmap(obj_rc_fn)(o.tsdf, o.grads, o.weights,
+                                         o.fg_counts, o.pose, o.voxel_size,
+                                         o.truncdist)
+
+            obj_hit = obj_rc["mask"] & o.active[:, None, None]
+            obj_ray = jnp.where(obj_hit, obj_rc["raylengths"], jnp.inf)
+            best = jnp.argmin(obj_ray, axis=0)                     # (H, W)
+            min_ray = jnp.min(obj_ray, axis=0)
+            any_obj = jnp.isfinite(min_ray)
+
+            def take_best(stack):
+                return jnp.take_along_axis(
+                    stack, best[None, ..., None] if stack.ndim == 4
+                    else best[None, ...], axis=0)[0]
+
+            comp_ray = jnp.where(any_obj, min_ray, 0.0)
+            comp_verts = jnp.where(any_obj[..., None],
+                                   take_best(obj_rc["vertices"]), 0.0)
+            comp_norms = jnp.where(any_obj[..., None],
+                                   take_best(obj_rc["normals"]), 0.0)
+            seg = jnp.where(any_obj, o.object_id[best], 0)
+
+            # bg override where bg is >5cm nearer (EMFusion.cpp:773-776)
+            take_bg = bg_rc["mask"] & any_obj & \
+                (comp_ray - bg_rc["raylengths"] > 0.05)
+            seg = jnp.where(take_bg, 0, seg)
+            no_obj = seg == 0
+            vertices = jnp.where(no_obj[..., None], bg_rc["vertices"],
+                                 comp_verts)
+            normals = jnp.where(no_obj[..., None], bg_rc["normals"],
+                                comp_norms)
+
+            # visibility: enough seg pixels inside the boundary-eroded frame
+            b = p.boundary
+            inner = jnp.zeros((H, W), bool).at[b:H - b, b:W - b].set(True)
+            seg_in = jnp.where(inner, seg, 0)
+            vis_counts = jax.vmap(
+                lambda oid: jnp.sum((seg_in == oid) & (oid > 0)))(
+                    o.object_id)
+            visible = o.active & (vis_counts > p.visibilityThresh)
+
+            state = state.replace(objs=o.replace(visible=visible))
+            return state, {
+                "vertices": vertices, "normals": normals, "seg": seg,
+                "raylengths": comp_ray, "bg_raylengths": bg_rc["raylengths"],
+                "obj_masks": obj_rc["mask"] & o.active[:, None, None],
+                "vis_counts": vis_counts,
+            }
+
+        def integrate(state: PipelineState, depth):
+            """integrateDepth (EMFusion.cpp:865-889): bg + visible objects,
+            then gradient update."""
+            rel_bg_oc = pose_inverse(state.cam_pose) @ state.bg_pose
+            bg_t, bg_w = integrate_tsdf(
+                state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
+                rel_bg_oc[:3, :3], rel_bg_oc[:3, 3], intr, bg_voxel,
+                bg_trunc, tsdfp.maxTSDFWeight)
+            bg_g = compute_gradients(bg_t)
+
+            o = state.objs
+
+            def obj_int(tsdf, weights, grads, pose, vs, td, assoc, upd):
+                rel_oc = pose_inverse(state.cam_pose) @ pose
+                t2, w2 = integrate_tsdf(tsdf, weights, depth, assoc,
+                                        rel_oc[:3, :3], rel_oc[:3, 3], intr,
+                                        vs, td, tsdfp.maxTSDFWeight)
+                g2 = compute_gradients(t2)
+                t2 = jnp.where(upd, t2, tsdf)
+                w2 = jnp.where(upd, w2, weights)
+                g2 = jnp.where(upd, g2, grads)
+                return t2, w2, g2
+
+            upd = o.active & o.visible
+            t2, w2, g2 = jax.vmap(obj_int)(
+                o.tsdf, o.weights, o.grads, o.pose, o.voxel_size,
+                o.truncdist, o.assoc, upd)
+            return state.replace(
+                bg_tsdf=bg_t, bg_weights=bg_w, bg_grads=bg_g,
+                objs=o.replace(tsdf=t2, weights=w2, grads=g2))
+
+        def integrate_masks(state: PipelineState, masks, occls, do_mask):
+            """integrateMasks (EMFusion.cpp:891-906) batched over slots."""
+            o = state.objs
+
+            def one(tsdf, weights, fgc, pose, vs, mask, occl, upd):
+                rel_oc = pose_inverse(state.cam_pose) @ pose
+                fgc2 = integrate_fg_mask(tsdf, weights, fgc, mask, occl,
+                                         rel_oc[:3, :3], rel_oc[:3, 3], intr,
+                                         vs)
+                return jnp.where(upd, fgc2, fgc)
+
+            fgc2 = jax.vmap(one)(o.tsdf, o.weights, o.fg_counts, o.pose,
+                                 o.voxel_size, masks, occls,
+                                 do_mask & o.active)
+            return state.replace(objs=o.replace(fg_counts=fgc2))
+
+        def preprocess(depth_raw):
+            depth = preprocess_depth(depth_raw, p.bilateral_kernel_size,
+                                     p.bilateral_sigma_depth,
+                                     p.bilateral_sigma_spatial)
+            points = backproject_depth(depth, intr)
+            return depth, points
+
+        def frame_track(state, points):
+            state = estep(state, points)
+            pre_bg, pre_obj = state.bg_assoc, state.objs.assoc
+            state = track_all(state, points)
+            state = estep(state, points)
+            state, rc = raycast_all(state)
+            return state, pre_bg, pre_obj, rc
+
+        self._preprocess = jax.jit(preprocess)
+        self._estep = jax.jit(estep)
+        self._frame_track = jax.jit(frame_track)
+        self._integrate = jax.jit(integrate)
+        self._integrate_masks = jax.jit(integrate_masks)
+
+        # --- mask-frame helpers -------------------------------------
+        def mask_iou(a, b):
+            inter = jnp.sum(a & b)
+            union = jnp.sum(a | b)
+            return inter / jnp.maximum(union, 1)
+
+        self._mask_iou = jax.jit(mask_iou)
+        self._count_nonzero = jax.jit(lambda m: jnp.sum(m))
+
+        def masked_percentiles(pts, valid):
+            """Per-axis independent 10/90 percentiles of masked points —
+            reproduces computePercentiles (EMFusion.cu:77-98): sort each
+            axis independently, pick index int(count*0.1)/int(count*0.9)."""
+            n = jnp.sum(valid)
+            big = jnp.where(valid[:, None], pts, jnp.inf)
+            srt = jnp.sort(big, axis=0)
+            i10 = (n.astype(jnp.float32) * 0.1).astype(jnp.int32)
+            i90 = (n.astype(jnp.float32) * 0.9).astype(jnp.int32)
+            p10 = srt[jnp.clip(i10, 0, pts.shape[0] - 1)]
+            p90 = srt[jnp.clip(i90, 0, pts.shape[0] - 1)]
+            return p10, p90, n
+
+        self._masked_percentiles = jax.jit(masked_percentiles)
+
+        def surface_and_new_percentiles(tsdf, weights, fgc, vs, new_pts,
+                                        new_valid):
+            """Percentiles over (near-surface fg voxels) ∪ (new points),
+            both in the object frame. TPU replacement for the reference's
+            mesh-vertex + filtered-point percentile input
+            (EMFusion.cpp:838-855)."""
+            Z, Y, X = tsdf.shape
+            fgvol = compute_fg_probs(fgc)
+            near = (weights > 0) & (fgvol > 0.5) & (jnp.abs(tsdf) < 0.99)
+            zi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 0)
+            yi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 1)
+            xi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 2)
+            vox = jnp.stack([(xi - (X - 1) / 2) * vs,
+                             (yi - (Y - 1) / 2) * vs,
+                             (zi - (Z - 1) / 2) * vs], -1).reshape(-1, 3)
+            pts = jnp.concatenate([vox, new_pts], axis=0)
+            valid = jnp.concatenate([near.reshape(-1), new_valid], axis=0)
+            return masked_percentiles(pts, valid)
+
+        self._surface_new_percentiles = jax.jit(surface_and_new_percentiles)
+
+        def resample_slot(tsdf, weights, fgc, old_vs, new_vs, center):
+            """Rescale-and-recenter an object volume into the same fixed
+            grid (replaces ObjTSDF::resize's grow-and-copy,
+            ObjTSDF.cpp:96-165). New grid positions (relative to the new
+            center) are sampled trilinearly from the old grid."""
+            Z, Y, X = tsdf.shape
+            res = jnp.array([X, Y, Z], jnp.float32)
+            zi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 0)
+            yi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 1)
+            xi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 2)
+            p_new = jnp.stack([(xi - (X - 1) / 2) * new_vs,
+                               (yi - (Y - 1) / 2) * new_vs,
+                               (zi - (Z - 1) / 2) * new_vs], -1)
+            p_old = p_new + center
+            v = p_old / old_vs + (res - 1.0) / 2.0
+            ok = jnp.all((v >= 0) & (v + 1 < res), axis=-1)
+            from emfusion_tpu.geometry.sampling import \
+                trilinear_sample, trilinear_sample_channels
+            t2 = trilinear_sample(tsdf, v, ok)
+            w2 = trilinear_sample(weights, v, ok)
+            f2 = trilinear_sample_channels(fgc, v, ok)
+            g2 = compute_gradients(t2)
+            return t2, w2, g2, f2
+
+        self._resample_slot = jax.jit(resample_slot)
+
+    # ------------------------------------------------------------------
+    # host-side frame processing
+    # ------------------------------------------------------------------
+    def process_frame(self, rgb: Optional[np.ndarray],
+                      depth_raw: np.ndarray) -> None:
+        p = self.params
+        depth, points = self._preprocess(jnp.asarray(depth_raw))
+
+        rc = None
+        if self.frame > 0:
+            self.state, pre_bg, pre_obj, rc = self._frame_track(
+                self.state, points)
+            self._last_raycast = rc
+            if self.save_output:
+                self.outputs["bg_assoc_pre"][self.frame] = np.asarray(pre_bg)
+                self.outputs["bg_assoc_post"][self.frame] = np.asarray(
+                    self.state.bg_assoc)
+
+        self._store_poses()
+
+        matches: Dict[int, np.ndarray] = {}
+        num_instances = -1
+        if self.frame % p.maskRCNNFrames == 0:
+            num_instances = self._init_or_match_objs(rgb, points, rc,
+                                                     matches)
+
+        self.state = self._integrate(self.state, depth)
+
+        if num_instances > 0:
+            self._apply_mask_integration(matches, rc)
+
+        self._clean_up_objs(num_instances, matches, rc)
+
+        self.frame += 1
+
+    # ------------------------------------------------------------------
+    def _store_poses(self):
+        self.poses[self.frame] = np.asarray(self.state.cam_pose)
+        ids = np.asarray(self.state.objs.object_id)
+        active = np.asarray(self.state.objs.active)
+        poses = np.asarray(self.state.objs.pose)
+        for k in range(self.K):
+            if active[k]:
+                self.obj_poses.setdefault(int(ids[k]), {})[self.frame] = \
+                    poses[k]
+
+    def _slot_of(self, obj_id: int) -> int:
+        ids = np.asarray(self.state.objs.object_id)
+        active = np.asarray(self.state.objs.active)
+        for k in range(self.K):
+            if active[k] and ids[k] == obj_id:
+                return k
+        return -1
+
+    # ------------------------------------------------------------------
+    def _init_or_match_objs(self, rgb, points, rc, matches) -> int:
+        """initOrMatchObjs (EMFusion.cpp:329-373)."""
+        p = self.params
+        if self.mask_provider is None:
+            return -1
+        dets = self.mask_provider.detect(rgb, self.frame)
+        if dets is None:
+            return -1
+        dets = seg_mod.filter_detections(dets, p.FILTER_CLASSES,
+                                         p.STATIC_OBJECTS,
+                                         min_pixels=p.mask_min_pixels)
+        if self.save_output:
+            self.outputs["masks"][self.frame] = [d.mask for d in dets]
+        n = len(dets)
+        if n == 0:
+            return 0
+
+        depth_np = np.asarray(points)[..., 2]
+        valid_points = depth_np > 0
+        cam = np.asarray(self.state.cam_pose)
+        pts_w = (np.asarray(points).reshape(-1, 3) @ cam[:3, :3].T
+                 + cam[:3, 3]).astype(np.float32)
+
+        seg_map = np.asarray(rc["seg"]) if rc is not None else \
+            np.zeros((self.H, self.W), np.int32)
+
+        score_matches: Dict[int, np.ndarray] = {}
+        unmatched: List[int] = []
+        masks = [d.mask.copy() for d in dets]
+
+        ids = np.asarray(self.state.objs.object_id)
+        active = np.asarray(self.state.objs.active)
+        visible = np.asarray(self.state.objs.visible)
+
+        # --- matchSegmentation (EMFusion.cpp:418-455, 797-825)
+        for i in range(n):
+            matched_id = -1
+            if self.frame > 0:
+                best_iou = 0.0
+                for k in range(self.K):
+                    if not (active[k] and visible[k]):
+                        continue
+                    obj_mask = seg_map == ids[k]
+                    iou = float(self._mask_iou(jnp.asarray(masks[i]),
+                                               jnp.asarray(obj_mask)))
+                    if iou > best_iou:
+                        best_iou = iou
+                        matched_id = int(ids[k])
+                if best_iou <= p.matchIOUThresh:
+                    matched_id = -1
+                if matched_id >= 0 and matched_id in matches:
+                    # conflict: keep the mask with better IOU vs the
+                    # reprojected model mask; the contested mask index then
+                    # goes through the unmatched path (and is killed there
+                    # by overlap subtraction) — EMFusion.cpp:430-454
+                    obj_mask = seg_map == matched_id
+                    prev_iou = float(self._mask_iou(
+                        jnp.asarray(matches[matched_id]),
+                        jnp.asarray(obj_mask)))
+                    if best_iou > prev_iou:
+                        matches[matched_id] = masks[i].copy()
+                        score_matches[matched_id] = dets[i].scores
+                    matched_id = -1
+            if matched_id >= 0:
+                matches[matched_id] = masks[i]
+                score_matches[matched_id] = dets[i].scores
+            else:
+                unmatched.append(i)
+
+        # --- initObjsFromUnmatched (EMFusion.cpp:457-493)
+        for i in unmatched:
+            for k in range(self.K):
+                if not active[k]:
+                    continue
+                oid = int(ids[k])
+                obj_mask = seg_map == oid
+                if oid in matches:
+                    obj_mask = obj_mask | matches[oid]
+                pre = np.count_nonzero(masks[i])
+                masks[i] = masks[i] & ~obj_mask
+                if pre > 0 and np.count_nonzero(masks[i]) / pre < 0.5:
+                    masks[i][:] = False
+            mask = valid_points & masks[i]
+            new_id = self._init_new_obj_volume(mask, pts_w, cam)
+            matches[new_id] = masks[i]
+            score_matches[new_id] = dets[i].scores
+            if new_id >= 0:
+                # refresh host views after spawn
+                ids = np.asarray(self.state.objs.object_id)
+                active = np.asarray(self.state.objs.active)
+
+        # --- update matched objects (EMFusion.cpp:359-369)
+        for k in range(self.K):
+            if not active[k]:
+                continue
+            oid = int(ids[k])
+            meta = self.meta[oid]
+            if oid in matches:
+                offset = self._update_obj(k, oid, pts_w,
+                                          valid_points & matches[oid],
+                                          score_matches.get(oid))
+                if np.any(offset != 0):
+                    meta.pose_offsets[self.frame] = offset
+                meta.ex_count += 1
+            else:
+                meta.nonex_count += 1
+        return n
+
+    # ------------------------------------------------------------------
+    def _init_new_obj_volume(self, mask, pts_w, cam) -> int:
+        """initNewObjVolume (EMFusion.cpp:495-558)."""
+        p = self.params
+        if np.count_nonzero(mask) < p.visibilityThresh:
+            return -1
+        valid = jnp.asarray(mask.reshape(-1))
+        pts = jnp.asarray(pts_w)
+
+        # overlap check vs existing objects (volumeIOU, EMFusion.cpp:560-612)
+        ids = np.asarray(self.state.objs.object_id)
+        active = np.asarray(self.state.objs.active)
+        poses = np.asarray(self.state.objs.pose)
+        vsizes = np.asarray(self.state.objs.voxel_size)
+        for k in range(self.K):
+            if not active[k]:
+                continue
+            T = np.linalg.inv(poses[k])
+            pts_o = jnp.asarray((pts_w @ T[:3, :3].T + T[:3, 3])
+                                .astype(np.float32))
+            p10, p90, _ = self._masked_percentiles(pts_o, valid)
+            p10, p90 = np.asarray(p10), np.asarray(p90)
+            if self._volume_iou(k, vsizes[k], p10, p90) > p.volIOUThresh:
+                return -1
+
+        p10, p90, _ = self._masked_percentiles(pts, valid)
+        p10, p90 = np.asarray(p10), np.asarray(p90)
+        center = (p10 + p90) / 2
+        if np.linalg.norm(center - cam[:3, 3]) > p.distanceThresh:
+            return -1
+        vol_size = p.volPad * float(np.max(p90 - p10))
+        if vol_size <= 0:
+            return -1
+
+        slot = int(np.argmin(active))  # first free slot
+        if active[slot]:
+            return -1  # pool full
+        voxel = vol_size / self.obj_res
+        trunc = p.objRelTruncDist * voxel
+        pose = _translate(center.astype(np.float32))
+
+        o = self.state.objs
+        zero3 = jnp.zeros_like(o.tsdf[0])
+        new_id = self._next_id
+        self._next_id += 1
+        o = o.replace(
+            tsdf=o.tsdf.at[slot].set(zero3),
+            weights=o.weights.at[slot].set(zero3),
+            grads=o.grads.at[slot].set(0.0),
+            fg_counts=o.fg_counts.at[slot].set(0.0),
+            pose=o.pose.at[slot].set(jnp.asarray(pose)),
+            voxel_size=o.voxel_size.at[slot].set(voxel),
+            truncdist=o.truncdist.at[slot].set(trunc),
+            active=o.active.at[slot].set(True),
+            visible=o.visible.at[slot].set(True),
+            object_id=o.object_id.at[slot].set(new_id),
+            assoc=o.assoc.at[slot].set(1.0),   # createObj: assoc=1
+        )
+        self.state = self.state.replace(objs=o)
+        self.meta[new_id] = ObjectMeta(ex_count=1, nonex_count=0)
+        self.obj_poses.setdefault(new_id, {})[self.frame] = pose
+        return new_id
+
+    def _volume_iou(self, slot, voxel, p10, p90) -> float:
+        """volumeIOU (EMFusion.cpp:560-612) — host math."""
+        p = self.params
+        center = (p10 + p90) / 2
+        vol_size = p.volPad * float(np.max(p90 - p10))
+        low_new = center - vol_size / 2
+        high_new = center + vol_size / 2
+        half = (self.obj_res - 1) * voxel / 2
+        low, high = -np.full(3, half), np.full(3, half)
+        vol_old = float(np.prod(np.full(3, self.obj_res * voxel)))
+        vol_new = vol_size ** 3
+        low_i = np.maximum(low_new, low)
+        high_i = np.minimum(high_new, high)
+        dims = high_i - low_i
+        if np.any(dims < 0):
+            return 0.0
+        vol_int = float(np.prod(dims))
+        return vol_int / (vol_new + vol_old - vol_int)
+
+    # ------------------------------------------------------------------
+    def _update_obj(self, slot, oid, pts_w, mask, scores) -> np.ndarray:
+        """updateObj (EMFusion.cpp:827-863): class probs + resize."""
+        meta = self.meta[oid]
+        if scores is not None:
+            if meta.class_probs is None:
+                meta.class_probs = np.asarray(scores, np.float64).copy()
+            else:
+                meta.class_probs += np.asarray(scores)
+
+        valid = mask.reshape(-1)
+        if valid.sum() == 0:
+            return np.zeros(3, np.float32)
+
+        o = self.state.objs
+        T = np.linalg.inv(np.asarray(o.pose[slot]))
+        pts_o = (pts_w @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+        p10, p90, _ = self._surface_new_percentiles(
+            o.tsdf[slot], o.weights[slot], o.fg_counts[slot],
+            o.voxel_size[slot], jnp.asarray(pts_o), jnp.asarray(valid))
+        p10, p90 = np.asarray(p10), np.asarray(p90)
+        return self._resize_obj(slot, p10, p90)
+
+    def _resize_obj(self, slot, p10, p90) -> np.ndarray:
+        """Recenter/rescale (replaces ObjTSDF::resize, ObjTSDF.cpp:80-165).
+
+        Grid resolution stays fixed; the voxel size is rescaled so the
+        fixed grid covers the reference's grown extent. The voxel-aligned
+        recenter offset is preserved (returned for pose-offset logging).
+        """
+        p = self.params
+        o = self.state.objs
+        voxel = float(np.asarray(o.voxel_size[slot]))
+        half = (self.obj_res - 1) * voxel / 2
+        contained = np.all(p10 >= -half) and np.all(p90 <= half)
+        if contained or not np.all(np.isfinite(p10)) \
+                or not np.all(np.isfinite(p90)):
+            return np.zeros(3, np.float32)
+
+        new_center = (p10 + p90) / 2
+        pix_offset = (new_center / voxel).astype(np.int32)  # trunc like Vec3i
+        new_center = pix_offset.astype(np.float32) * voxel
+
+        new_dims = p90 - p10
+        new_vol_vox = p.volPad * float(np.max(new_dims)) / voxel
+        new_res = (int(np.ceil(new_vol_vox)) + 1) // 2 * 2
+        new_voxel = new_res * voxel / self.obj_res
+
+        pose = np.asarray(o.pose[slot])
+        pose = pose @ _translate(new_center)
+
+        t2, w2, g2, f2 = self._resample_slot(
+            o.tsdf[slot], o.weights[slot], o.fg_counts[slot],
+            voxel, new_voxel, jnp.asarray(new_center))
+        o = o.replace(
+            tsdf=o.tsdf.at[slot].set(t2),
+            weights=o.weights.at[slot].set(w2),
+            grads=o.grads.at[slot].set(g2),
+            fg_counts=o.fg_counts.at[slot].set(f2),
+            pose=o.pose.at[slot].set(jnp.asarray(pose)),
+            voxel_size=o.voxel_size.at[slot].set(new_voxel),
+        )
+        self.state = self.state.replace(objs=o)
+        oid = int(np.asarray(o.object_id[slot]))
+        self.obj_poses.setdefault(oid, {})[self.frame] = pose
+        return new_center.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _apply_mask_integration(self, matches, rc):
+        """integrateMasks (EMFusion.cpp:891-906)."""
+        K, H, W = self.K, self.H, self.W
+        masks = np.zeros((K, H, W), bool)
+        occls = np.zeros((K, H, W), bool)
+        do = np.zeros((K,), bool)
+        ids = np.asarray(self.state.objs.object_id)
+        active = np.asarray(self.state.objs.active)
+        seg_map = np.asarray(rc["seg"]) if rc is not None else \
+            np.zeros((H, W), np.int32)
+        own_masks = np.asarray(rc["obj_masks"]) if rc is not None else \
+            np.zeros((K, H, W), bool)
+        for k in range(K):
+            oid = int(ids[k])
+            if not active[k] or oid not in matches:
+                continue
+            comp_mask = seg_map == oid
+            occls[k] = own_masks[k] & ~comp_mask  # occluded pixels
+            masks[k] = matches[oid]
+            do[k] = True
+        if do.any():
+            self.state = self._integrate_masks(
+                self.state, jnp.asarray(masks), jnp.asarray(occls),
+                jnp.asarray(do))
+
+    # ------------------------------------------------------------------
+    def _clean_up_objs(self, num_instances, matches, rc):
+        """cleanUpObjs (EMFusion.cpp:922-980)."""
+        p = self.params
+        o = self.state.objs
+        ids = np.asarray(o.object_id)
+        active = np.asarray(o.active)
+        visible = np.asarray(o.visible)
+        assoc = np.asarray(o.assoc)
+        own_masks = np.asarray(rc["obj_masks"]) if rc is not None else \
+            np.zeros((self.K, self.H, self.W), bool)
+
+        spurious = set()
+        if num_instances > 0:
+            for k in range(self.K):
+                if active[k] and \
+                        self.meta[int(ids[k])].ex_prob < p.existenceThresh:
+                    spurious.add(int(ids[k]))
+
+        for k in range(self.K):
+            if not (active[k] and visible[k]):
+                continue
+            oid = int(ids[k])
+            m = own_masks[k].copy()
+            if oid in matches:
+                m |= matches[oid]
+            cnt = np.count_nonzero(m)
+            if p.assocThresh * cnt > float(assoc[k][m].sum()):
+                spurious.add(oid)
+
+        delete_slots = []
+        for k in range(self.K):
+            if not active[k]:
+                continue
+            oid = int(ids[k])
+            if oid in spurious or not visible[k]:
+                delete_slots.append(k)
+
+        if delete_slots:
+            o = self.state.objs
+            for k in delete_slots:
+                o = o.replace(
+                    active=o.active.at[k].set(False),
+                    visible=o.visible.at[k].set(False),
+                    assoc=o.assoc.at[k].set(0.0),
+                )
+            self.state = self.state.replace(objs=o)
+
+    # ------------------------------------------------------------------
+    def render(self) -> np.ndarray:
+        """Phong-rendered composited model view (EMFusion::render)."""
+        if self._last_raycast is None:
+            return np.zeros((self.H, self.W, 3), np.uint8)
+        rc = self._last_raycast
+        seg = rc["seg"]
+        img = render_phong(rc["vertices"], rc["normals"],
+                           jnp.asarray(seg) % 256,
+                           jnp.asarray(self.colormap))
+        return np.asarray(img)
+
+    @property
+    def active_object_ids(self) -> List[int]:
+        ids = np.asarray(self.state.objs.object_id)
+        active = np.asarray(self.state.objs.active)
+        return [int(ids[k]) for k in range(self.K) if active[k]]
+
+    @property
+    def cam_pose(self) -> np.ndarray:
+        return np.asarray(self.state.cam_pose)
