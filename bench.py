@@ -1,0 +1,146 @@
+"""Benchmark: fused frames/s/chip on the reference operating point.
+
+Measures the TSDF fusion + gradient-update step (the per-frame volume
+kernels, ``kernel_updateTSDF`` + ``kernel_computeTSDFGrads`` equivalents)
+at the reference configuration: 512^3 background volume, 640x480 depth.
+
+Prints ONE JSON line on stdout:
+  {"metric": "fused_frames_per_s_per_chip", "value": ..., "unit": "fps",
+   "vs_baseline": ...}
+where vs_baseline is measured fps / (0.8 * HBM-roofline fps) — the
+BASELINE.json target is >= 80% of the TSDF-kernel HBM roofline, so
+vs_baseline >= 1.0 means target met. Supporting numbers (roofline, GN
+JtJ reduce latency, E-step latency) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+HBM_GBPS = {
+    # public peak HBM bandwidth per chip
+    "v5e": 819.0, "v5litepod": 819.0, "v5 lite": 819.0,
+    "v4": 1228.0, "v5p": 2765.0, "v6e": 1640.0,
+}
+
+
+def detect_bw(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for k, v in HBM_GBPS.items():
+        if k in kind:
+            return v
+    return float(os.environ.get("EMF_HBM_GBPS", 819.0))
+
+
+def timeit(fn, *args, iters=20, warmup=3):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from emfusion_tpu.ops.fusion import integrate_tsdf, compute_gradients
+
+    dev = jax.devices()[0]
+    bw = detect_bw(dev)
+    log(f"device: {dev.device_kind}, assumed HBM BW {bw} GB/s")
+
+    R = int(os.environ.get("EMF_BENCH_RES", 512))
+    H, W = 480, 640
+    voxel = 5.12 / R
+    trunc = 10 * voxel
+
+    intr = jnp.asarray(np.array(
+        [[525.0, 0, W / 2 - 0.5], [0, 525.0, H / 2 - 0.5], [0, 0, 1]],
+        np.float32))
+    ys, xs = np.mgrid[0:H, 0:W]
+    depth = (1.5 + 0.2 * np.sin(xs / 11.0) * np.cos(ys / 7.0)
+             ).astype(np.float32)
+    depth_j = jnp.asarray(depth)
+    assoc = jnp.ones((H, W), jnp.float32)
+    tsdf = jnp.zeros((R, R, R))
+    weights = jnp.zeros((R, R, R))
+    rel_rot = jnp.eye(3)
+    rel_trans = jnp.asarray(np.array([0, 0, 2.56], np.float32))
+
+    @jax.jit
+    def fuse_step(tsdf, weights):
+        t2, w2 = integrate_tsdf(tsdf, weights, depth_j, assoc, rel_rot,
+                                rel_trans, intr, voxel, trunc, 64.0)
+        g2 = compute_gradients(t2)
+        return t2, w2, g2
+
+    t0 = time.perf_counter()
+    tsdf, weights, grads = fuse_step(tsdf, weights)
+    jax.block_until_ready((tsdf, weights))
+    log(f"fuse compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    dt = timeit(lambda t, w: fuse_step(t, w)[:2], tsdf, weights, iters=10)
+    fps = 1.0 / dt
+    # bytes per fused frame: fusion reads+writes tsdf & weights (4 passes)
+    # + gradient pass reads tsdf and writes 3-channel grads
+    nbytes = (R ** 3) * 4 * (4 + 1 + 3)
+    roofline_fps = bw * 1e9 / nbytes
+    log(f"fused step: {dt * 1e3:.2f} ms -> {fps:.2f} fps "
+        f"(roofline {roofline_fps:.1f} fps, "
+        f"{100 * fps / roofline_fps:.1f}% of roofline)")
+
+    # --- GN JtJ reduce latency (BASELINE latency probe) ---
+    N = H * W
+    J = jnp.asarray(np.random.RandomState(0).randn(N, 6).astype(np.float32))
+    w = jnp.asarray(np.random.RandomState(1).rand(N).astype(np.float32))
+    psi = jnp.asarray(np.random.RandomState(2).randn(N).astype(np.float32))
+
+    @jax.jit
+    def jtj(J, w, psi):
+        Jw = J * w[:, None]
+        return Jw.T @ J, Jw.T @ psi
+
+    dt_jtj = timeit(jtj, J, w, psi, iters=50)
+    log(f"GN JtJ reduce (N={N}): {dt_jtj * 1e6:.1f} us")
+
+    # --- E-step association latency (sample+laplace+normalize, 1 model) ---
+    from emfusion_tpu.ops.association import association_weights
+    pts = jnp.asarray(
+        np.stack([(xs - 319.5) / 525.0 * depth,
+                  (ys - 239.5) / 525.0 * depth, depth], -1)
+        .astype(np.float32))
+
+    @jax.jit
+    def estep(tsdf, pts):
+        w_, _ = association_weights(tsdf, pts, rel_rot, rel_trans, voxel,
+                                    trunc, 0.02, 0.8, 1.0)
+        return w_
+
+    dt_e = timeit(estep, tsdf, pts, iters=20)
+    log(f"E-step (1 model, {N} px): {dt_e * 1e3:.2f} ms")
+
+    vs_baseline = fps / (0.8 * roofline_fps)
+    print(json.dumps({
+        "metric": "fused_frames_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(vs_baseline, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""EM-Fusion CLI — mirrors the reference app's flag surface
+(``apps/EM-Fusion.cpp:217-256``):
+
+  --tumdir/-t      TUM RGB-D sequence directory (with associations.txt)
+  --dir/-d         Co-Fusion style directory (Color%04d.png/Depth%04d.exr)
+  --colordir / --depthdir   subdirectory names for -d
+  --exportdir/-e   write results (poses, meshes, renderings)
+  --export-volume  also dump raw TSDF volumes
+  --config/-c      INI config file (reference config format)
+  --maskdir/-m     replay preprocessed masks (Mask%04d.plk)
+  --background     headless (no GUI display)
+  --show-slam      reserved (3D visualization not implemented; renders 2D)
+
+plus TPU-native additions: --frames (limit), --platform (tpu|cpu),
+--profile (jax profiler trace dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser():
+    ap = argparse.ArgumentParser("emfusion-tpu")
+    ap.add_argument("--tumdir", "-t", help="TUM RGB-D directory")
+    ap.add_argument("--dir", "-d", dest="dir_", help="Co-Fusion directory")
+    ap.add_argument("--colordir", default="colour")
+    ap.add_argument("--depthdir", default="depth_noise")
+    ap.add_argument("--exportdir", "-e", help="export results here")
+    ap.add_argument("--export-volume", action="store_true")
+    ap.add_argument("--config", "-c", help="INI config file")
+    ap.add_argument("--maskdir", "-m", help="preprocessed mask dir")
+    ap.add_argument("--background", action="store_true",
+                    help="run headless (no display)")
+    ap.add_argument("--show-slam", action="store_true")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="process at most N frames")
+    ap.add_argument("--platform", default=None, choices=["tpu", "cpu"],
+                    help="force JAX platform")
+    ap.add_argument("--profile", help="jax profiler trace directory")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if not args.tumdir and not args.dir_:
+        print("error: need --tumdir or --dir", file=sys.stderr)
+        return 2
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from emfusion_tpu.config import Params, load_config, load_calibration
+    from emfusion_tpu.io.readers import TUMReader, CoFusionReader
+    from emfusion_tpu.io.writers import write_results
+    from emfusion_tpu.pipeline import EMFusionPipeline
+    from emfusion_tpu.segmentation import ReplayMaskProvider
+
+    params = Params()
+    if args.config:
+        params = load_config(args.config, params)
+
+    if args.tumdir:
+        reader = TUMReader(args.tumdir)
+        calib = os.path.join(args.tumdir, "calibration.txt")
+    else:
+        reader = CoFusionReader(args.dir_, args.colordir, args.depthdir)
+        calib = os.path.join(args.dir_, "calibration.txt")
+    if os.path.exists(calib):
+        params = load_calibration(calib, params)
+    reader.init()
+
+    provider = ReplayMaskProvider(args.maskdir) if args.maskdir else None
+    pipe = EMFusionPipeline(params, provider,
+                            save_output=bool(args.exportdir))
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    t_start = time.time()
+    n = 0
+    try:
+        for frame in reader.frames():
+            pipe.process_frame(frame.rgb, frame.depth)
+            if args.exportdir:
+                pipe.outputs["renderings"][n] = pipe.render()
+            n += 1
+            if n % 10 == 0:
+                fps = n / (time.time() - t_start)
+                print(f"frame {n}/{reader.num_frames}  "
+                      f"{fps:.2f} fps  objects={pipe.active_object_ids}",
+                      flush=True)
+            if args.frames and n >= args.frames:
+                break
+    finally:
+        reader.close()
+        if args.profile:
+            jax.profiler.stop_trace()
+
+    elapsed = time.time() - t_start
+    print(f"processed {n} frames in {elapsed:.1f}s "
+          f"({n / max(elapsed, 1e-9):.2f} fps)")
+
+    if args.exportdir:
+        write_results(pipe, args.exportdir,
+                      export_volumes=args.export_volume)
+        print(f"results written to {args.exportdir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""Marching cubes as classify -> cumsum -> scatter-emit XLA programs.
+
+TPU-native redesign of the reference's two-pass CUDA marching cubes
+(``src/core/cuda/TSDF.cu:855-1152``): the classify pass and vertex/
+triangle counting are vectorized table lookups; the reference's
+``thrust::exclusive_scan`` becomes ``jnp.cumsum``; the emission pass is a
+set of 12 (edges) + 5 (triangles) masked scatters into statically sized
+output buffers (XLA needs static shapes; callers trim by the returned
+counts).
+
+Geometry conventions match the reference exactly: corner positions at
+``(idx - (res-1)/2) * voxel``, vertex interpolation with the 1e-5
+epsilon short-circuits (``vertexInterp``, ``TSDF.cu:909-920``), normals
+from normalized corner gradients re-normalized after interpolation, and
+cubes participate only when all 8 corners pass the validity mask
+(``kernel_classifyCubes``, ``TSDF.cu:889-892``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emfusion_tpu.ops.mc_tables import (
+    CORNER_OFFSETS, EDGE_CORNERS, EDGE_LOCAL_OFFSET, EDGE_TABLE, NUM_TRIS,
+    NUM_VERTS, TRI_TABLE,
+)
+
+
+def _corner_values(vol: jnp.ndarray):
+    """The 8 corner sub-volumes of shape (Z-1, Y-1, X-1) [+ channels]."""
+    Z, Y, X = vol.shape[:3]
+    outs = []
+    for dx, dy, dz in np.asarray(CORNER_OFFSETS):
+        outs.append(vol[dz:Z - 1 + dz, dy:Y - 1 + dy, dx:X - 1 + dx])
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("max_verts", "max_tris"))
+def marching_cubes(tsdf: jnp.ndarray, grads: jnp.ndarray, mask: jnp.ndarray,
+                   voxel_size, max_verts: int, max_tris: int):
+    """Extract the zero isosurface.
+
+    Args:
+      tsdf: (Z, Y, X); grads: (Z, Y, X, 3); mask: (Z, Y, X) bool validity.
+      max_verts/max_tris: static output capacities.
+
+    Returns dict with ``vertices`` (max_verts, 3), ``normals``
+    (max_verts, 3), ``triangles`` (max_tris, 3) int32 vertex indices,
+    and scalar ``num_verts`` / ``num_tris``. Unused rows are zero /
+    degenerate (0,0,0) triangles.
+    """
+    Z, Y, X = tsdf.shape
+    corners = _corner_values(tsdf)                     # 8 x (Z-1,Y-1,X-1)
+    corner_mask = _corner_values(mask)
+    cube_valid = corner_mask[0]
+    for cm in corner_mask[1:]:
+        cube_valid = cube_valid & cm
+
+    cube_class = jnp.zeros(corners[0].shape, jnp.int32)
+    for i, c in enumerate(corners):
+        cube_class = cube_class | ((c < 0.0).astype(jnp.int32) << i)
+    cube_class = jnp.where(cube_valid, cube_class, 0)
+
+    nv_tab = jnp.asarray(NUM_VERTS)
+    nt_tab = jnp.asarray(NUM_TRIS)
+    nverts = jnp.take(nv_tab, cube_class).reshape(-1)
+    ntris = jnp.take(nt_tab, cube_class).reshape(-1)
+
+    vert_base = jnp.cumsum(nverts) - nverts            # exclusive scan
+    tri_base = jnp.cumsum(ntris) - ntris
+    num_verts = jnp.sum(nverts)
+    num_tris = jnp.sum(ntris)
+
+    # corner world positions and normalized corner normals
+    shp = corners[0].shape
+    zi = jax.lax.broadcasted_iota(jnp.float32, shp, 0)
+    yi = jax.lax.broadcasted_iota(jnp.float32, shp, 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, shp, 2)
+
+    grad_corners = _corner_values(grads)
+
+    def corner_pos(ci):
+        dx, dy, dz = [int(v) for v in np.asarray(CORNER_OFFSETS)[ci]]
+        return jnp.stack([
+            (xi + dx - (X - 1) / 2.0) * voxel_size,
+            (yi + dy - (Y - 1) / 2.0) * voxel_size,
+            (zi + dz - (Z - 1) / 2.0) * voxel_size], axis=-1)
+
+    def vertex_interp(p1, p2, v1, v2):
+        """vertexInterp semantics (TSDF.cu:909-920)."""
+        v1e = v1[..., None]
+        v2e = v2[..., None]
+        denom = v2e - v1e
+        mu = -v1e / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        out = p1 + mu * (p2 - p1)
+        out = jnp.where(jnp.abs(denom) < 1e-5, p1, out)
+        out = jnp.where(jnp.abs(v2e) < 1e-5, p2, out)
+        out = jnp.where(jnp.abs(v1e) < 1e-5, p1, out)
+        return out
+
+    def normalize(v):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return v / jnp.where(n > 0, n, 1.0)
+
+    edge_tab = jnp.asarray(EDGE_TABLE)
+    loc_tab = jnp.asarray(EDGE_LOCAL_OFFSET)
+    cls_flat = cube_class.reshape(-1)
+    edge_bits = jnp.take(edge_tab, cls_flat)
+
+    vertices = jnp.zeros((max_verts, 3), jnp.float32)
+    normals = jnp.zeros((max_verts, 3), jnp.float32)
+
+    for e in range(12):
+        ca, cb = [int(v) for v in np.asarray(EDGE_CORNERS)[e]]
+        active = ((edge_bits >> e) & 1) == 1
+        local = jnp.take(loc_tab[:, e], cls_flat)
+        idx = vert_base + local
+        idx = jnp.where(active, idx, max_verts)        # OOB drop
+        va = corners[ca].reshape(-1)
+        vb = corners[cb].reshape(-1)
+        pa = corner_pos(ca).reshape(-1, 3)
+        pb = corner_pos(cb).reshape(-1, 3)
+        na = normalize(grad_corners[ca].reshape(-1, 3))
+        nb = normalize(grad_corners[cb].reshape(-1, 3))
+        vpos = vertex_interp(pa, pb, va, vb)
+        vnorm = normalize(vertex_interp(na, nb, va, vb))
+        vertices = vertices.at[idx].set(vpos, mode="drop")
+        normals = normals.at[idx].set(vnorm, mode="drop")
+
+    tri_tab = jnp.asarray(TRI_TABLE)
+    triangles = jnp.zeros((max_tris, 3), jnp.int32)
+    for t in range(TRI_TABLE.shape[1] // 3):
+        e0 = jnp.take(tri_tab[:, 3 * t + 0], cls_flat)
+        e1 = jnp.take(tri_tab[:, 3 * t + 1], cls_flat)
+        e2 = jnp.take(tri_tab[:, 3 * t + 2], cls_flat)
+        active = e0 >= 0
+        e0c = jnp.maximum(e0, 0)
+        e1c = jnp.maximum(e1, 0)
+        e2c = jnp.maximum(e2, 0)
+
+        def vid(ec):
+            local = jnp.take_along_axis(
+                jnp.take(loc_tab, cls_flat, axis=0), ec[:, None],
+                axis=1)[:, 0]
+            return vert_base + local
+
+        row = jnp.stack([vid(e0c), vid(e1c), vid(e2c)], axis=-1)
+        tidx = jnp.where(active, tri_base + t, max_tris)
+        triangles = triangles.at[tidx].set(row, mode="drop")
+
+    return {
+        "vertices": vertices, "normals": normals, "triangles": triangles,
+        "num_verts": num_verts, "num_tris": num_tris,
+    }
+
+
+def extract_mesh(tsdf, grads, mask, voxel_size,
+                 max_verts: int = 1_000_000,
+                 max_tris: int = 2_000_000
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host convenience: run marching cubes and trim to actual counts.
+
+    Returns (vertices (V,3), normals (V,3), triangles (T,3)) as numpy.
+    """
+    out = marching_cubes(jnp.asarray(tsdf), jnp.asarray(grads),
+                         jnp.asarray(mask), float(voxel_size),
+                         max_verts=max_verts, max_tris=max_tris)
+    nv = int(out["num_verts"])
+    nt = int(out["num_tris"])
+    return (np.asarray(out["vertices"][:nv]),
+            np.asarray(out["normals"][:nv]),
+            np.asarray(out["triangles"][:nt]))

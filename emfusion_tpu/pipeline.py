@@ -369,6 +369,12 @@ class EMFusionPipeline:
         self._frame_track = jax.jit(frame_track)
         self._integrate = jax.jit(integrate)
         self._integrate_masks = jax.jit(integrate_masks)
+        # raw (unjitted) versions for custom jit wrapping (sharded runs,
+        # __graft_entry__, benchmarks)
+        self._frame_track_fn = frame_track
+        self._integrate_fn = integrate
+        self._estep_fn = estep
+        self._preprocess_fn = preprocess
 
         # --- mask-frame helpers -------------------------------------
         def mask_iou(a, b):
