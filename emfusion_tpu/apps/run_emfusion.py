@@ -86,7 +86,8 @@ def main(argv=None):
     n = 0
     try:
         for frame in reader.frames():
-            pipe.process_frame(frame.rgb, frame.depth)
+            pipe.process_frame(frame.rgb, frame.depth,
+                               timestamp=frame.timestamp)
             if args.exportdir:
                 pipe.outputs["renderings"][n] = pipe.render()
             n += 1

@@ -30,6 +30,48 @@ try:
 except ImportError:  # pragma: no cover
     _HAS_CV2 = False
 
+try:
+    from emfusion_tpu import native as _native
+    _HAS_NATIVE = _native.available()
+except Exception:  # pragma: no cover
+    _HAS_NATIVE = False
+
+
+def _imread_rgb(path: str) -> Optional[np.ndarray]:
+    """RGB decode: native libpng fast path, cv2 fallback."""
+    if _HAS_NATIVE and path.endswith(".png"):
+        img = _native.read_png_rgb(path)
+        if img is not None:
+            return img
+    if _HAS_CV2:
+        img = cv2.imread(path)
+        if img is not None:
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return None
+
+
+def _imread_depth16(path: str) -> Optional[np.ndarray]:
+    """16-bit depth PNG decode (TUM)."""
+    if _HAS_NATIVE and path.endswith(".png"):
+        img = _native.read_png_gray16(path)
+        if img is not None:
+            return img
+    if _HAS_CV2:
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    return None
+
+
+def _imread_exr(path: str) -> Optional[np.ndarray]:
+    """EXR depth decode (Co-Fusion). cv2 in this image has no EXR support,
+    so the native decoder is the primary path."""
+    if _HAS_NATIVE:
+        img = _native.read_exr(path)
+        if img is not None:
+            return img
+    if _HAS_CV2:
+        return cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    return None
+
 
 @dataclasses.dataclass
 class RGBDFrame:
@@ -56,9 +98,21 @@ class _BufferedReader:
     def init(self) -> None:
         raise NotImplementedError
 
+    def _start_native(self, rgb_paths, depth_paths, depth_scale=1.0,
+                      depth_clamp=1e30, timestamps=None, start_index=0):
+        """Multi-worker C++ decode pipeline (preferred when built)."""
+        self._pf = _native.NativePrefetcher(
+            rgb_paths, depth_paths, n_workers=4,
+            capacity=max(self.min_buffer, 4), depth_scale=depth_scale,
+            depth_clamp=depth_clamp)
+        self._pf_timestamps = timestamps
+        self._pf_offset = start_index
+        self._consumed = start_index
+
     def _start(self, start_index: int = 0):
         self._next = start_index
         self._stop = False
+        self._pf = None
 
         def loop():
             while not self._stop and self._next < self.num_frames:
@@ -76,6 +130,13 @@ class _BufferedReader:
         return self._consumed < self.num_frames
 
     def get_next_frame(self) -> RGBDFrame:
+        if getattr(self, "_pf", None) is not None:
+            rgb, depth, i = self._pf.next()
+            idx = i + self._pf_offset
+            ts = (self._pf_timestamps[i]
+                  if self._pf_timestamps is not None else None)
+            self._consumed += 1
+            return RGBDFrame(rgb=rgb, depth=depth, index=idx, timestamp=ts)
         frame = self._queue.get()
         self._consumed += 1
         return frame
@@ -85,6 +146,10 @@ class _BufferedReader:
             yield self.get_next_frame()
 
     def close(self):
+        if getattr(self, "_pf", None) is not None:
+            self._pf.close()
+            self._pf = None
+            return
         self._stop = True
         if self._thread is not None:
             # drain so the producer can exit
@@ -124,15 +189,22 @@ class TUMReader(_BufferedReader):
             if span > 0:
                 self.frame_rate = self.num_frames / span
         self.min_buffer = max(int(round(self.frame_rate)), 1)
+        if _HAS_NATIVE:
+            try:
+                self._start_native(
+                    [os.path.join(self.path, p[1]) for p in self.pairs],
+                    [os.path.join(self.path, p[2]) for p in self.pairs],
+                    depth_scale=self.DEPTH_SCALE,
+                    timestamps=[p[0] for p in self.pairs])
+                return
+            except RuntimeError:
+                pass
         self._start()
 
     def _read_frame(self, index):
         ts, rgb_f, depth_f = self.pairs[index]
-        rgb = cv2.imread(os.path.join(self.path, rgb_f))
-        if rgb is not None:
-            rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
-        depth_raw = cv2.imread(os.path.join(self.path, depth_f),
-                               cv2.IMREAD_UNCHANGED)
+        rgb = _imread_rgb(os.path.join(self.path, rgb_f))
+        depth_raw = _imread_depth16(os.path.join(self.path, depth_f))
         depth = depth_raw.astype(np.float32) * self.DEPTH_SCALE
         return RGBDFrame(rgb=rgb, depth=depth, index=index, timestamp=ts)
 
@@ -166,6 +238,17 @@ class CoFusionReader(_BufferedReader):
         self.num_frames = idx + rgbs
         self._consumed_offset = idx
         self.min_buffer = int(self.frame_rate)
+        if _HAS_NATIVE:
+            try:
+                rng = range(idx, self.num_frames)
+                self._start_native(
+                    [self._rgb_path(i) for i in rng],
+                    [self._depth_path(i) for i in rng],
+                    depth_clamp=100.0,  # ImageReader.cpp:116
+                    start_index=idx)
+                return
+            except RuntimeError:
+                pass
         self._start(start_index=idx)
         self._consumed = idx
 
@@ -176,11 +259,8 @@ class CoFusionReader(_BufferedReader):
         return os.path.join(self.depthpath, f"Depth{i:04d}.exr")
 
     def _read_frame(self, index):
-        rgb = cv2.imread(self._rgb_path(index))
-        if rgb is not None:
-            rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
-        depth = cv2.imread(self._depth_path(index),
-                           cv2.IMREAD_UNCHANGED)
+        rgb = _imread_rgb(self._rgb_path(index))
+        depth = _imread_exr(self._depth_path(index))
         if depth is None:
             raise RuntimeError(f"missing depth {index}")
         if depth.ndim == 3:

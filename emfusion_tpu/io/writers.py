@@ -57,7 +57,7 @@ def write_pose_file(filename: str, poses: Dict[int, np.ndarray],
         for idx in sorted(poses):
             T = np.asarray(poses[idx])
             q = _rot_to_quat(T[:3, :3])
-            stamp = timestamps[idx] if timestamps else idx
+            stamp = timestamps.get(idx, idx) if timestamps else idx
             f.write(f"{stamp} {T[0, 3]} {T[1, 3]} {T[2, 3]} "
                     f"{q[0]} {q[1]} {q[2]} {q[3]}\n")
 
@@ -126,13 +126,14 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
     ``EMFusion.cpp:253-292`` + writers :991-1313)."""
     os.makedirs(path, exist_ok=True)
 
-    write_pose_file(os.path.join(path, "poses-cam.txt"), pipe.poses)
+    stamps = getattr(pipe, "timestamps", None) or None
+    write_pose_file(os.path.join(path, "poses-cam.txt"), pipe.poses, stamps)
     for oid, traj in pipe.obj_poses.items():
-        write_pose_file(os.path.join(path, f"poses-{oid}.txt"), traj)
+        write_pose_file(os.path.join(path, f"poses-{oid}.txt"), traj, stamps)
         offsets = pipe.meta[oid].pose_offsets if oid in pipe.meta else {}
         corrected = add_pose_offsets(traj, offsets)
         write_pose_file(os.path.join(path, f"poses-{oid}-corrected.txt"),
-                        corrected)
+                        corrected, stamps)
 
     # rendering / assoc / mask image dumps
     try:

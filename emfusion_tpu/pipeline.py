@@ -130,6 +130,9 @@ class EMFusionPipeline:
         # trajectory + export storage (reference EMFusion.h:330-468)
         self.poses: Dict[int, np.ndarray] = {}
         self.obj_poses: Dict[int, Dict[int, np.ndarray]] = {}
+        # frame index -> dataset timestamp (TUM eval writes stamps when
+        # available, mirroring eval_tum.sh's index->timestamp substitution)
+        self.timestamps: Dict[int, float] = {}
         self.outputs: Dict[str, dict] = {
             "bg_assoc_pre": {}, "bg_assoc_post": {},
             "obj_assoc_pre": {}, "obj_assoc_post": {},
@@ -451,8 +454,11 @@ class EMFusionPipeline:
     # host-side frame processing
     # ------------------------------------------------------------------
     def process_frame(self, rgb: Optional[np.ndarray],
-                      depth_raw: np.ndarray) -> None:
+                      depth_raw: np.ndarray,
+                      timestamp: Optional[float] = None) -> None:
         p = self.params
+        if timestamp is not None:
+            self.timestamps[self.frame] = float(timestamp)
         depth, points = self._preprocess(jnp.asarray(depth_raw))
 
         rc = None
