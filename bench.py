@@ -2,7 +2,8 @@
 
 Measures the TSDF fusion + gradient-update step (the per-frame volume
 kernels, ``kernel_updateTSDF`` + ``kernel_computeTSDFGrads`` equivalents)
-at the reference configuration: 512^3 background volume, 640x480 depth.
+at the reference configuration: 512^3 background volume, 640x480 depth,
+using the production fusion backend (MXU pencil-warp path on TPU).
 
 Prints ONE JSON line on stdout:
   {"metric": "fused_frames_per_s_per_chip", "value": ..., "unit": "fps",
@@ -40,30 +41,34 @@ def detect_bw(device) -> float:
     return float(os.environ.get("EMF_HBM_GBPS", 819.0))
 
 
-def timeit(fn, *args, iters=20, warmup=3):
-    import jax
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
-
-
 def main():
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from emfusion_tpu.ops.fusion import integrate_tsdf, compute_gradients
+    from emfusion_tpu.ops.fusion import compute_gradients, integrate_tsdf
+    from emfusion_tpu.ops.fusion_pencil import integrate_tsdf_pencil
 
     dev = jax.devices()[0]
+    on_tpu = jax.default_backend() not in ("cpu",)
     bw = detect_bw(dev)
-    log(f"device: {dev.device_kind}, assumed HBM BW {bw} GB/s")
+    log(f"device: {dev.device_kind}, assumed HBM BW {bw} GB/s, "
+        f"backend {'pencil' if on_tpu else 'gather'}")
 
-    R = int(os.environ.get("EMF_BENCH_RES", 512))
+    def sync(x):
+        return float(jnp.asarray(x).ravel()[0])
+
+    def timeit(fn, *args, iters=10, warmup=3):
+        for _ in range(warmup):
+            out = fn(*args)
+        sync(out[0] if isinstance(out, tuple) else out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out[0] if isinstance(out, tuple) else out)
+        return (time.perf_counter() - t0) / iters
+
+    R = int(os.environ.get("EMF_BENCH_RES", 512 if on_tpu else 128))
     H, W = 480, 640
     voxel = 5.12 / R
     trunc = 10 * voxel
@@ -78,19 +83,24 @@ def main():
     assoc = jnp.ones((H, W), jnp.float32)
     tsdf = jnp.zeros((R, R, R))
     weights = jnp.zeros((R, R, R))
-    rel_rot = jnp.eye(3)
+    th = np.deg2rad(15)
+    rel_rot = jnp.asarray(np.array(
+        [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+         [-np.sin(th), 0, np.cos(th)]], np.float32))
     rel_trans = jnp.asarray(np.array([0, 0, 2.56], np.float32))
+
+    fuse = integrate_tsdf_pencil if on_tpu else integrate_tsdf
 
     @jax.jit
     def fuse_step(tsdf, weights):
-        t2, w2 = integrate_tsdf(tsdf, weights, depth_j, assoc, rel_rot,
-                                rel_trans, intr, voxel, trunc, 64.0)
+        t2, w2 = fuse(tsdf, weights, depth_j, assoc, rel_rot,
+                      rel_trans, intr, voxel, trunc, 64.0)
         g2 = compute_gradients(t2)
         return t2, w2, g2
 
     t0 = time.perf_counter()
-    tsdf, weights, grads = fuse_step(tsdf, weights)
-    jax.block_until_ready((tsdf, weights))
+    out = fuse_step(tsdf, weights)
+    sync(out[0])
     log(f"fuse compile+first run: {time.perf_counter() - t0:.1f}s")
 
     dt = timeit(lambda t, w: fuse_step(t, w)[:2], tsdf, weights, iters=10)
@@ -99,20 +109,20 @@ def main():
     # + gradient pass reads tsdf and writes 3-channel grads
     nbytes = (R ** 3) * 4 * (4 + 1 + 3)
     roofline_fps = bw * 1e9 / nbytes
-    log(f"fused step: {dt * 1e3:.2f} ms -> {fps:.2f} fps "
+    log(f"fused step {R}^3: {dt * 1e3:.2f} ms -> {fps:.2f} fps "
         f"(roofline {roofline_fps:.1f} fps, "
         f"{100 * fps / roofline_fps:.1f}% of roofline)")
 
     # --- GN JtJ reduce latency (BASELINE latency probe) ---
     N = H * W
-    J = jnp.asarray(np.random.RandomState(0).randn(N, 6).astype(np.float32))
+    J = jnp.asarray(np.random.RandomState(0).randn(6, N).astype(np.float32))
     w = jnp.asarray(np.random.RandomState(1).rand(N).astype(np.float32))
     psi = jnp.asarray(np.random.RandomState(2).randn(N).astype(np.float32))
 
     @jax.jit
     def jtj(J, w, psi):
-        Jw = J * w[:, None]
-        return Jw.T @ J, Jw.T @ psi
+        Jw = J * w[None, :]
+        return Jw @ J.T, Jw @ psi
 
     dt_jtj = timeit(jtj, J, w, psi, iters=50)
     log(f"GN JtJ reduce (N={N}): {dt_jtj * 1e6:.1f} us")
@@ -121,7 +131,7 @@ def main():
     from emfusion_tpu.ops.association import association_weights
     pts = jnp.asarray(
         np.stack([(xs - 319.5) / 525.0 * depth,
-                  (ys - 239.5) / 525.0 * depth, depth], -1)
+                  (ys - 239.5) / 525.0 * depth, depth], 0)
         .astype(np.float32))
 
     @jax.jit
@@ -130,7 +140,7 @@ def main():
                                     trunc, 0.02, 0.8, 1.0)
         return w_
 
-    dt_e = timeit(estep, tsdf, pts, iters=20)
+    dt_e = timeit(estep, tsdf, pts, iters=10)
     log(f"E-step (1 model, {N} px): {dt_e * 1e3:.2f} ms")
 
     vs_baseline = fps / (0.8 * roofline_fps)

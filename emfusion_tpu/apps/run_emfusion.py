@@ -41,6 +41,11 @@ def build_parser():
     ap.add_argument("--platform", default=None, choices=["tpu", "cpu"],
                     help="force JAX platform")
     ap.add_argument("--profile", help="jax profiler trace directory")
+    ap.add_argument("--checkpoint", help="checkpoint file (.npz)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="write --checkpoint every N frames")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --checkpoint if it exists")
     return ap
 
 
@@ -79,6 +84,13 @@ def main(argv=None):
     pipe = EMFusionPipeline(params, provider,
                             save_output=bool(args.exportdir))
 
+    skip_until = 0
+    if args.checkpoint and args.resume and os.path.exists(args.checkpoint):
+        from emfusion_tpu.checkpoint import load_checkpoint
+        load_checkpoint(pipe, args.checkpoint)
+        skip_until = pipe.frame
+        print(f"resumed from {args.checkpoint} at frame {skip_until}")
+
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
@@ -86,11 +98,17 @@ def main(argv=None):
     n = 0
     try:
         for frame in reader.frames():
+            if frame.index < skip_until:
+                continue
             pipe.process_frame(frame.rgb, frame.depth,
                                timestamp=frame.timestamp)
             if args.exportdir:
                 pipe.outputs["renderings"][n] = pipe.render()
             n += 1
+            if (args.checkpoint and args.checkpoint_every
+                    and pipe.frame % args.checkpoint_every == 0):
+                from emfusion_tpu.checkpoint import save_checkpoint
+                save_checkpoint(pipe, args.checkpoint)
             if n % 10 == 0:
                 fps = n / (time.time() - t_start)
                 print(f"frame {n}/{reader.num_frames}  "

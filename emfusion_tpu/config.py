@@ -103,6 +103,10 @@ class Params:
     mask_min_pixels: int = 50 * 50
     # Maximum vertices/triangles emitted by marching cubes (static output).
     mc_max_verts: int = 3_000_000
+    # TSDF fusion backend: "auto" picks the MXU pencil-warp path on TPU
+    # (XLA's gather is a ~0.11 G elem/s scalar loop there) and the direct
+    # gather formulation elsewhere; "pencil"/"gather" force one.
+    fusion_backend: str = "auto"
 
     @property
     def intr(self) -> np.ndarray:
@@ -166,6 +170,8 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
             params.volumePose = tuple(parts)
         else:
             raise ValueError("volumePose expects 3 floats (translation)")
+    elif key == "fusion_backend":
+        params.fusion_backend = v.strip()
     elif key == "ignore_person":
         params.ignore_person = v.strip().lower() in ("yes", "true", "1", "on")
     elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",

@@ -58,8 +58,9 @@ def state_shardings(mesh: Mesh, state):
     objs = ObjectPool(
         tsdf=ns("obj", "z", None, None),
         weights=ns("obj", "z", None, None),
-        grads=ns("obj", "z", None, None, None),
-        fg_counts=ns("obj", "z", None, None, None),
+        # channel-first volumes: K, C, Z, Y, X — Z is dim 2
+        grads=ns("obj", None, "z", None, None),
+        fg_counts=ns("obj", None, "z", None, None),
         pose=ns(), voxel_size=ns(), truncdist=ns(),
         active=ns(), visible=ns(), object_id=ns(),
         assoc=ns("obj", None, None),
@@ -67,7 +68,7 @@ def state_shardings(mesh: Mesh, state):
     return PipelineState(
         bg_tsdf=ns("z", None, None),
         bg_weights=ns("z", None, None),
-        bg_grads=ns("z", None, None, None),
+        bg_grads=ns(None, "z", None, None),
         bg_pose=ns(), bg_assoc=ns(), cam_pose=ns(),
         objs=objs,
     )

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 
 def backproject_depth(depth: jnp.ndarray, intr: jnp.ndarray) -> jnp.ndarray:
-    """Depth image (H, W) -> camera-space point map (H, W, 3).
+    """Depth image (H, W) -> camera-space point map, component-first
+    (3, H, W) — a trailing 3-axis would be padded to 128 lanes on TPU.
 
     Matches ``kernel_computePoints``: p = ((x-cx)/fx*d, (y-cy)/fy*d, d).
     Pixels with depth 0 map to (0, 0, 0) which downstream code treats as
@@ -26,21 +27,21 @@ def backproject_depth(depth: jnp.ndarray, intr: jnp.ndarray) -> jnp.ndarray:
     ys = jnp.arange(H, dtype=depth.dtype)
     u = (xs[None, :] - cx) / fx
     v = (ys[:, None] - cy) / fy
-    return jnp.stack([u * depth, v * depth, depth], axis=-1)
+    return jnp.stack([u * depth, v * depth, depth], axis=0)
 
 
 def project_points(points: jnp.ndarray, intr: jnp.ndarray):
-    """Camera-space points (..., 3) -> (pixel int coords (..., 2), z).
+    """Camera-space points (3, ...) -> (px, py int arrays, z).
 
     Rounds to nearest like ``__float2int_rn`` in the CUDA kernels.
     """
     fx, fy = intr[0, 0], intr[1, 1]
     cx, cy = intr[0, 2], intr[1, 2]
-    z = points[..., 2]
+    z = points[2]
     zsafe = jnp.where(z > 0, z, 1.0)
-    px = jnp.round(points[..., 0] * fx / zsafe + cx).astype(jnp.int32)
-    py = jnp.round(points[..., 1] * fy / zsafe + cy).astype(jnp.int32)
-    return jnp.stack([px, py], axis=-1), z
+    px = jnp.round(points[0] * fx / zsafe + cx).astype(jnp.int32)
+    py = jnp.round(points[1] * fy / zsafe + cy).astype(jnp.int32)
+    return px, py, z
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size",))

@@ -4,11 +4,15 @@ TPU-native replacement for ``interpolateTrilinear``
 (``include/EMFusion/core/cuda/TSDF.cuh:65-97``) and the
 ``kernel_getVolumeVals`` family (``src/core/cuda/TSDF.cu:662-726``).
 
-Volumes are dense ``(Z, Y, X)`` or ``(Z, Y, X, C)`` float32 arrays. Grid
-coordinates follow the reference convention: a point ``p`` in the volume
-(object) frame maps to fractional index ``v = p / voxel_size + (res-1)/2``
-per axis (X, Y, Z), and the voxel at integer index ``i`` sits at world
-position ``(i - (res-1)/2) * voxel_size``.
+Layout note (TPU): arrays are tiled (8, 128) over their two minor dims,
+so a trailing channel axis of size 3 would be padded to 128 (42x memory).
+All multi-channel volumes are therefore **channel-first** ``(C, Z, Y, X)``
+and point clouds are component-first ``(3, N)`` / ``(3, H, W)``.
+
+Grid coordinates follow the reference convention: a point ``p`` in the
+volume (object) frame maps to fractional index ``v = p / voxel_size +
+(res-1)/2`` per axis (X, Y, Z), and the voxel at integer index ``i`` sits
+at object-frame position ``(i - (res-1)/2) * voxel_size``.
 """
 
 from __future__ import annotations
@@ -30,47 +34,43 @@ def world_to_grid(p_xyz: jnp.ndarray, res_xyz, voxel_size) -> jnp.ndarray:
     return p_xyz / voxel_size + (res - 1.0) / 2.0
 
 
-def trilinear_sample(vol: jnp.ndarray, v_xyz: jnp.ndarray,
+def trilinear_sample(vol: jnp.ndarray, vx, vy, vz,
                      valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Trilinear interpolation of ``vol`` (Z, Y, X) at fractional grid
-    coords ``v_xyz`` (..., 3 ordered x, y, z).
+    coords given as separate arrays ``vx, vy, vz`` (any common shape).
 
     Out-of-range coords must be masked by ``valid`` (they are clamped for
     the gather and zeroed in the output). Matches the corner-weighting of
     the reference's ``interpolateTrilinear``.
     """
-    return trilinear_sample_channels(vol[..., None], v_xyz, valid)[..., 0]
+    return trilinear_sample_channels(vol[None], vx, vy, vz, valid)[0]
 
 
-def trilinear_sample_channels(vol: jnp.ndarray, v_xyz: jnp.ndarray,
-                              valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Like :func:`trilinear_sample` for multi-channel volumes (Z, Y, X, C).
+def trilinear_sample_channels(vol: jnp.ndarray, vx, vy, vz,
+                              valid: jnp.ndarray | None = None
+                              ) -> jnp.ndarray:
+    """Like :func:`trilinear_sample` for channel-first volumes
+    (C, Z, Y, X). Returns (C, ...)."""
+    C, Z, Y, X = vol.shape
 
-    Returns (..., C). A single flattened gather of the 8 corners per point
-    keeps this XLA-friendly (one gather instruction, fused lerps).
-    """
-    Z, Y, X, C = vol.shape
-    x = v_xyz[..., 0]
-    y = v_xyz[..., 1]
-    z = v_xyz[..., 2]
-
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    z0 = jnp.floor(z).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    fz = z - z0
+    x0 = jnp.floor(vx).astype(jnp.int32)
+    y0 = jnp.floor(vy).astype(jnp.int32)
+    z0 = jnp.floor(vz).astype(jnp.int32)
+    fx = vx - x0
+    fy = vy - y0
+    fz = vz - z0
 
     x0c = jnp.clip(x0, 0, X - 2)
     y0c = jnp.clip(y0, 0, Y - 2)
     z0c = jnp.clip(z0, 0, Z - 2)
 
-    flat = vol.reshape(-1, C)
+    flat = vol.reshape(C, -1)
     base = (z0c * Y + y0c) * X + x0c
 
     def corner(dz, dy, dx):
         idx = base + (dz * Y + dy) * X + dx
-        return jnp.take(flat, idx, axis=0)
+        # gather along the flat voxel axis for each channel
+        return jnp.take(flat, idx, axis=1)
 
     c000 = corner(0, 0, 0)
     c001 = corner(0, 0, 1)
@@ -81,9 +81,6 @@ def trilinear_sample_channels(vol: jnp.ndarray, v_xyz: jnp.ndarray,
     c110 = corner(1, 1, 0)
     c111 = corner(1, 1, 1)
 
-    fx = fx[..., None]
-    fy = fy[..., None]
-    fz = fz[..., None]
     c00 = c000 * (1 - fx) + c001 * fx
     c01 = c010 * (1 - fx) + c011 * fx
     c10 = c100 * (1 - fx) + c101 * fx
@@ -93,7 +90,7 @@ def trilinear_sample_channels(vol: jnp.ndarray, v_xyz: jnp.ndarray,
     out = c0 * (1 - fz) + c1 * fz
 
     if valid is not None:
-        out = jnp.where(valid[..., None], out, 0.0)
+        out = jnp.where(valid[None], out, 0.0)
     return out
 
 
@@ -105,22 +102,31 @@ def sample_volume_at_points(vol: jnp.ndarray, points_cam: jnp.ndarray,
     TPU equivalent of ``kernel_getVolumeVals`` (``TSDF.cu:662-726``):
     ``p = R p_cam + t``, ``v = p/voxel + (res-1)/2``; result is 0 where the
     point is invalid (``z_cam <= 0``) or where ``v`` is outside
-    ``[0, res - 1 - margin)`` on any axis (reference uses margin 1 for value
-    sampling, margin 2 for gradient-based sampling).
+    ``[0, res - 1 - margin)`` on any axis (reference uses margin 1 for
+    value sampling, margin 2 for gradient-based sampling).
 
-    ``vol`` is (Z, Y, X) or (Z, Y, X, C); returns points' leading shape
-    (+ C if multi-channel).
+    ``points_cam`` is component-first (3, ...). ``vol`` is (Z, Y, X) or
+    channel-first (C, Z, Y, X); returns the points' trailing shape
+    (with leading C if multi-channel).
     """
     squeeze = vol.ndim == 3
     if squeeze:
-        vol = vol[..., None]
-    Z, Y, X, _ = vol.shape
-    res = jnp.array([X, Y, Z], dtype=jnp.float32)
+        vol = vol[None]
+    C, Z, Y, X = vol.shape
 
-    p = points_cam @ rel_rot.T + rel_trans
-    v = p / voxel_size + (res - 1.0) / 2.0
-    valid = points_cam[..., 2] > 0
-    valid &= jnp.all(v >= 0.0, axis=-1)
-    valid &= jnp.all(v + margin < res, axis=-1)
-    out = trilinear_sample_channels(vol, v, valid)
-    return out[..., 0] if squeeze else out
+    px, py, pz = points_cam[0], points_cam[1], points_cam[2]
+    wx = rel_rot[0, 0] * px + rel_rot[0, 1] * py + rel_rot[0, 2] * pz \
+        + rel_trans[0]
+    wy = rel_rot[1, 0] * px + rel_rot[1, 1] * py + rel_rot[1, 2] * pz \
+        + rel_trans[1]
+    wz = rel_rot[2, 0] * px + rel_rot[2, 1] * py + rel_rot[2, 2] * pz \
+        + rel_trans[2]
+    vx = wx / voxel_size + (X - 1.0) / 2.0
+    vy = wy / voxel_size + (Y - 1.0) / 2.0
+    vz = wz / voxel_size + (Z - 1.0) / 2.0
+
+    valid = pz > 0
+    valid &= (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0)
+    valid &= (vx + margin < X) & (vy + margin < Y) & (vz + margin < Z)
+    out = trilinear_sample_channels(vol, vx, vy, vz, valid)
+    return out[0] if squeeze else out

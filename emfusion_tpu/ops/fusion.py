@@ -117,9 +117,10 @@ def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
 
 
 def compute_gradients(tsdf: jnp.ndarray) -> jnp.ndarray:
-    """Forward-difference gradient volume (Z, Y, X, 3), channels (gx, gy, gz)
-    in voxel units; last slice along each axis is zero
-    (``kernel_computeTSDFGrads``, ``TSDF.cu:429-464``)."""
+    """Forward-difference gradient volume, channel-first (3, Z, Y, X) with
+    channels (gx, gy, gz) in voxel units; last slice along each axis is
+    zero (``kernel_computeTSDFGrads``, ``TSDF.cu:429-464``). A trailing
+    channel axis would be lane-padded 3 -> 128 on TPU."""
     Z, Y, X = tsdf.shape
     gx = jnp.zeros_like(tsdf).at[:, :, :-1].set(tsdf[:, :, 1:] - tsdf[:, :, :-1])
     gy = jnp.zeros_like(tsdf).at[:, :-1, :].set(tsdf[:, 1:, :] - tsdf[:, :-1, :])
@@ -129,8 +130,8 @@ def compute_gradients(tsdf: jnp.ndarray) -> jnp.ndarray:
     mask = mask.at[-1, :, :].set(False)
     mask = mask.at[:, -1, :].set(False)
     mask = mask.at[:, :, -1].set(False)
-    g = jnp.stack([gx, gy, gz], axis=-1)
-    return jnp.where(mask[..., None], g, 0.0)
+    g = jnp.stack([gx, gy, gz], axis=0)
+    return jnp.where(mask[None], g, 0.0)
 
 
 def integrate_fg_mask(tsdf: jnp.ndarray, weights: jnp.ndarray,
@@ -143,6 +144,7 @@ def integrate_fg_mask(tsdf: jnp.ndarray, weights: jnp.ndarray,
     Matches ``kernel_updateFgBgProbs`` (``ObjTSDF.cu:29-107``): only voxels
     with ``|tsdf| < 1`` and weight > 0 projecting to a non-occluded pixel in
     frame accumulate ``fg += mask``, ``bg += 1 - mask``.
+    ``fg_counts`` is channel-first (2, Z, Y, X).
     """
     Z, Y, X = tsdf.shape
     H, W = mask.shape
@@ -163,6 +165,6 @@ def integrate_fg_mask(tsdf: jnp.ndarray, weights: jnp.ndarray,
 
     update = (jnp.abs(tsdf) < 1.0) & (weights > 0.0) & in_front & in_frame \
         & (occ == 0.0)
-    fg = fg_counts[..., 0] + jnp.where(update, m, 0.0)
-    bg = fg_counts[..., 1] + jnp.where(update, 1.0 - m, 0.0)
-    return jnp.stack([fg, bg], axis=-1)
+    fg = fg_counts[0] + jnp.where(update, m, 0.0)
+    bg = fg_counts[1] + jnp.where(update, 1.0 - m, 0.0)
+    return jnp.stack([fg, bg], axis=0)

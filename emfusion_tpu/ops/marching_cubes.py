@@ -46,7 +46,8 @@ def marching_cubes(tsdf: jnp.ndarray, grads: jnp.ndarray, mask: jnp.ndarray,
     """Extract the zero isosurface.
 
     Args:
-      tsdf: (Z, Y, X); grads: (Z, Y, X, 3); mask: (Z, Y, X) bool validity.
+      tsdf: (Z, Y, X); grads: channel-first (3, Z, Y, X); mask: (Z, Y, X)
+        bool validity.
       max_verts/max_tris: static output capacities.
 
     Returns dict with ``vertices`` (max_verts, 3), ``normals``
@@ -55,6 +56,9 @@ def marching_cubes(tsdf: jnp.ndarray, grads: jnp.ndarray, mask: jnp.ndarray,
     degenerate (0,0,0) triangles.
     """
     Z, Y, X = tsdf.shape
+    # meshing is export-cadence work; move channels last for the corner
+    # slicing below (fine on any backend at this call rate)
+    grads = jnp.moveaxis(grads, 0, -1)
     corners = _corner_values(tsdf)                     # 8 x (Z-1,Y-1,X-1)
     corner_mask = _corner_values(mask)
     cube_valid = corner_mask[0]

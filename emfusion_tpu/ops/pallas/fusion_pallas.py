@@ -64,21 +64,23 @@ def _gather_lanes(table, idx):
 def _fusion_kernel(coef_ref, depth_ref, assoc_ref, tsdf_ref, w_ref,
                    tsdf_out, w_out, *, Y: int, X: int, H: int, W: int,
                    S: int, L: int):
-    """One z-slice. Blocks: coef (1,24) SMEM; depth/assoc (S, L) VMEM
-    (padded images); tsdf/w (1, Y, X) VMEM aliased in/out.
+    """One z-slice. coef: full (Z, 16) scalar-prefetch array in SMEM;
+    depth/assoc (S, L) VMEM (padded images); tsdf/w (1, Y, X) VMEM
+    aliased in/out.
 
     The coef row already has the camera-from-(P,Q)-voxel affine selected
     for the chosen solve order; slot 15 = swap flag (0: P=x, 1: P=y).
     """
+    g = pl.program_id(0)
     # cam = (ap, bp, gp)·p + (aq, bq, gq)·q + (c0, c1, c2)
-    ap = coef_ref[0, 0]; aq = coef_ref[0, 1]; c0 = coef_ref[0, 2]
-    bp = coef_ref[0, 3]; bq = coef_ref[0, 4]; c1 = coef_ref[0, 5]
-    gp = coef_ref[0, 6]; gq = coef_ref[0, 7]; c2 = coef_ref[0, 8]
-    fx = coef_ref[0, 9]; fy = coef_ref[0, 10]
-    cx = coef_ref[0, 11]; cy = coef_ref[0, 12]
-    truncdist = coef_ref[0, 13]
-    max_weight = coef_ref[0, 14]
-    swap = coef_ref[0, 15]
+    ap = coef_ref[g, 0]; aq = coef_ref[g, 1]; c0 = coef_ref[g, 2]
+    bp = coef_ref[g, 3]; bq = coef_ref[g, 4]; c1 = coef_ref[g, 5]
+    gp = coef_ref[g, 6]; gq = coef_ref[g, 7]; c2 = coef_ref[g, 8]
+    fx = coef_ref[g, 9]; fy = coef_ref[g, 10]
+    cx = coef_ref[g, 11]; cy = coef_ref[g, 12]
+    truncdist = coef_ref[g, 13]
+    max_weight = coef_ref[g, 14]
+    swap = coef_ref[g, 15]
 
     f32 = jnp.float32
 
@@ -100,8 +102,8 @@ def _fusion_kernel(coef_ref, depth_ref, assoc_ref, tsdf_ref, w_ref,
         return jnp.floor(ustar + 0.5)
 
     # ---- pass 1: build A taps on the padded (S, L) grid ----
-    h_i = jax.lax.broadcasted_iota(f32, (S, L), 0)        # image row
-    p_i = jax.lax.broadcasted_iota(f32, (S, L), 1)        # volume P lane
+    h_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0).astype(f32)        # image row
+    p_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1).astype(f32)        # volume P lane
     cu_f = pass1_col(h_i, p_i)
     cu = jnp.clip(cu_f, 0, W - 1).astype(jnp.int32)
     cu_m = jnp.clip(cu_f - 1, 0, W - 1).astype(jnp.int32)
@@ -114,8 +116,8 @@ def _fusion_kernel(coef_ref, depth_ref, assoc_ref, tsdf_ref, w_ref,
     A2_p = _gather_lanes(assoc_ref[:], cu_p)
 
     # ---- pass 2: per-voxel projection on the (S, L) grid ----
-    qv = jax.lax.broadcasted_iota(f32, (S, L), 0)         # volume Q
-    pv = jax.lax.broadcasted_iota(f32, (S, L), 1)         # volume P
+    qv = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0).astype(f32)         # volume Q
+    pv = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1).astype(f32)         # volume P
     camx = ap * pv + aq * qv + c0
     camy = bp * pv + bq * qv + c1
     camz = gp * pv + gq * qv + c2
@@ -242,31 +244,34 @@ def _integrate_impl(tsdf, weights, depth, assoc, coefs, interpret=False):
     assoc_p = jnp.pad(assoc, ((0, S - H), (0, L - W)))
 
     kern = functools.partial(_fusion_kernel, Y=Y, X=X, H=H, W=W, S=S, L=L)
-    out_t, out_w = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(Z,),
         in_specs=[
-            pl.BlockSpec((1, 16), lambda g: (g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((S, L), lambda g: (0, 0),
+            pl.BlockSpec((S, L), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, L), lambda g: (0, 0),
+            pl.BlockSpec((S, L), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Y, X), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, Y, X), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Y, X), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, Y, X), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, Y, X), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, Y, X), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Y, X), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, Y, X), lambda g, c: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+    )
+    out_t, out_w = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
             jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
         ),
+        # inputs are (coefs, depth, assoc, tsdf, weights): alias volumes
         input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

@@ -9,6 +9,9 @@ gathers, and the loop exits when every ray has terminated. Per-ray adaptive
 step sizes (truncdist -> voxel -> half-voxel near the surface) are kept
 exactly as in the reference, as are the zero-crossing interpolation of
 ``t*``, the back-face early-out and all boundary margins.
+
+Layouts are component-first for TPU tiling: directions and outputs are
+(3, H, W); the gradient volume is (3, Z, Y, X).
 """
 
 from __future__ import annotations
@@ -29,12 +32,12 @@ def _safe_dir(d):
 def _enter_exit_steps(dirs: jnp.ndarray, campos: jnp.ndarray,
                       box_bounds: jnp.ndarray):
     """Slab test: ray parameter where the ray enters / exits the volume AABB
-    (``TSDF.cuh:31-63``). dirs: (..., 3); campos/box_bounds: (3,)."""
+    (``TSDF.cuh:31-63``). dirs: (3, ...); campos/box_bounds: (3,)."""
     d = _safe_dir(dirs)
-    lo = jnp.where(d > 0, -box_bounds, box_bounds)
-    hi = jnp.where(d > 0, box_bounds, -box_bounds)
-    t_enter = jnp.max((lo - campos) / d, axis=-1)
-    t_exit = jnp.min((hi - campos) / d, axis=-1)
+    lo = jnp.where(d > 0, -box_bounds[:, None, None], box_bounds[:, None, None])
+    hi = jnp.where(d > 0, box_bounds[:, None, None], -box_bounds[:, None, None])
+    t_enter = jnp.max((lo - campos[:, None, None]) / d, axis=0)
+    t_exit = jnp.min((hi - campos[:, None, None]) / d, axis=0)
     return t_enter, t_exit
 
 
@@ -57,16 +60,19 @@ def raycast_volume(tsdf_vol: jnp.ndarray, grads_vol: jnp.ndarray,
     """Raycast one TSDF volume into a camera.
 
     Args:
-      tsdf_vol, weights_vol: (Z, Y, X); grads_vol: (Z, Y, X, 3).
+      tsdf_vol, weights_vol: (Z, Y, X); grads_vol: (3, Z, Y, X).
       rel_rot_co / rel_trans_co: camera-to-object (volume) transform.
       prev_raylengths: optional (H, W) — rays never march past a nonzero
         previous hit (cross-volume composite rule, ``TSDF.cu:496-500``).
 
-    Returns dict with ``raylengths`` (t* where hit else 0), ``vertices`` and
-    ``normals`` in camera coordinates, and boolean ``mask`` (H, W).
+    Returns dict with ``raylengths`` (t* where hit else 0), ``vertices``
+    and ``normals`` (3, H, W) in camera coordinates, and boolean ``mask``
+    (H, W).
     """
     Z, Y, X = tsdf_vol.shape
-    res = jnp.array([X, Y, Z], dtype=jnp.float32)
+    resx = jnp.float32(X)
+    resy = jnp.float32(Y)
+    resz = jnp.float32(Z)
     fx, fy = intr[0, 0], intr[1, 1]
     cx, cy = intr[0, 2], intr[1, 2]
     vs = voxel_size
@@ -74,17 +80,18 @@ def raycast_volume(tsdf_vol: jnp.ndarray, grads_vol: jnp.ndarray,
 
     ys = jnp.arange(height, dtype=jnp.float32)
     xs = jnp.arange(width, dtype=jnp.float32)
-    ux = (xs[None, :] - cx) / fx
-    uy = (ys[:, None] - cy) / fy
-    unproj = jnp.stack([jnp.broadcast_to(ux, (height, width)),
-                        jnp.broadcast_to(uy, (height, width)),
-                        jnp.ones((height, width), jnp.float32)], axis=-1)
-    ray = unproj @ rel_rot_co.T
-    dirs = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+    ux = jnp.broadcast_to((xs[None, :] - cx) / fx, (height, width))
+    uy = jnp.broadcast_to((ys[:, None] - cy) / fy, (height, width))
+    unproj = jnp.stack([ux, uy, jnp.ones((height, width), jnp.float32)],
+                       axis=0)                                   # (3, H, W)
+    ray = jnp.einsum("ij,jhw->ihw", rel_rot_co, unproj)
+    norm = jnp.sqrt(jnp.sum(ray * ray, axis=0, keepdims=True))
+    dirs = ray / norm
     campos = rel_trans_co
-    box_bounds = (res - 1.0) / 2.0 * vs
+    box = jnp.stack([(resx - 1.0) / 2.0 * vs, (resy - 1.0) / 2.0 * vs,
+                     (resz - 1.0) / 2.0 * vs])
 
-    t_enter, t_exit = _enter_exit_steps(dirs, campos, box_bounds)
+    t_enter, t_exit = _enter_exit_steps(dirs, campos, box)
     raylength = t_enter + vs
     max_raylength = t_exit - vs
     if prev_raylengths is not None:
@@ -94,24 +101,29 @@ def raycast_volume(tsdf_vol: jnp.ndarray, grads_vol: jnp.ndarray,
     alive = raylength < max_raylength
 
     def grid_at(t):
-        p = campos + dirs * t[..., None]
-        return p / vs + (res - 1.0) / 2.0
+        """Returns per-axis fractional grid coords (vx, vy, vz) at ray
+        parameter t (H, W)."""
+        vx = (campos[0] + dirs[0] * t) / vs + (resx - 1.0) / 2.0
+        vy = (campos[1] + dirs[1] * t) / vs + (resy - 1.0) / 2.0
+        vz = (campos[2] + dirs[2] * t) / vs + (resz - 1.0) / 2.0
+        return vx, vy, vz
 
-    def inside(v, margin):
-        return jnp.all((v >= 0.0) & (v + margin < res), axis=-1)
+    def inside(v3, margin):
+        vx, vy, vz = v3
+        return ((vx >= 0.0) & (vx + margin < resx)
+                & (vy >= 0.0) & (vy + margin < resy)
+                & (vz >= 0.0) & (vz + margin < resz))
 
     # --- phase 1: skip forward until inside the sampling bounds (margin 1)
     # at truncdist steps (``TSDF.cu:509-514``).
     def skip_cond(state):
         t, it = state
-        v = grid_at(t)
-        need = alive & ~inside(v, 1.0) & (t < max_raylength)
+        need = alive & ~inside(grid_at(t), 1.0) & (t < max_raylength)
         return jnp.any(need) & (it < max_steps)
 
     def skip_body(state):
         t, it = state
-        v = grid_at(t)
-        need = alive & ~inside(v, 1.0) & (t < max_raylength)
+        need = alive & ~inside(grid_at(t), 1.0) & (t < max_raylength)
         return (jnp.where(need, t + td, t), it + 1)
 
     raylength, _ = jax.lax.while_loop(skip_cond, skip_body,
@@ -119,7 +131,7 @@ def raycast_volume(tsdf_vol: jnp.ndarray, grads_vol: jnp.ndarray,
 
     v0 = grid_at(raylength)
     v0_ok = inside(v0, 1.0)
-    tsdf0 = trilinear_sample(tsdf_vol, v0, v0_ok)
+    tsdf0 = trilinear_sample(tsdf_vol, *v0, v0_ok)
     raystep = jnp.full_like(raylength, td)
     raystep = jnp.where(jnp.abs(tsdf0) < 1.0, vs, raystep)
     raystep = jnp.where(jnp.abs(tsdf0) < 0.8, 0.5 * vs, raystep)
@@ -136,8 +148,8 @@ def raycast_volume(tsdf_vol: jnp.ndarray, grads_vol: jnp.ndarray,
         inb = inside(v, 2.0)
         do_sample = still & inb
 
-        next_tsdf = trilinear_sample(tsdf_vol, v, do_sample)
-        w = trilinear_sample(weights_vol, v, do_sample)
+        next_tsdf = trilinear_sample(tsdf_vol, *v, do_sample)
+        w = trilinear_sample(weights_vol, *v, do_sample)
 
         backface = do_sample & (s.tsdf < 0) & (next_tsdf > 0) & (w > 0)
 
@@ -154,7 +166,7 @@ def raycast_volume(tsdf_vol: jnp.ndarray, grads_vol: jnp.ndarray,
         ts = t_new - step_new * s.tsdf / denom
         vstar = grid_at(ts)
         vstar_inb = inside(vstar, 2.0)
-        wstar = trilinear_sample(weights_vol, vstar,
+        wstar = trilinear_sample(weights_vol, *vstar,
                                  crossing & vstar_inb)
         hit_now = crossing & vstar_inb & (wstar > 0)
 
@@ -182,15 +194,15 @@ def raycast_volume(tsdf_vol: jnp.ndarray, grads_vol: jnp.ndarray,
     hit = final.hit
     t_star = final.t_star
     vstar = grid_at(t_star)
-    grad = trilinear_sample_channels(grads_vol, vstar, hit)
-    gnorm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+    grad = trilinear_sample_channels(grads_vol, *vstar, hit)   # (3, H, W)
+    gnorm = jnp.sqrt(jnp.sum(grad * grad, axis=0, keepdims=True))
     grad = grad / jnp.where(gnorm > 0, gnorm, 1.0)
 
     # convert to camera coordinates: rot_OC = rot_CO^T (``TSDF.cu:562-564``)
-    verts_obj = dirs * t_star[..., None]
-    vertices = verts_obj @ rel_rot_co  # (R_CO^T x) = x @ R_CO
-    normals = grad @ rel_rot_co
-    hitf = hit[..., None]
+    verts_obj = dirs * t_star[None]
+    vertices = jnp.einsum("ji,jhw->ihw", rel_rot_co, verts_obj)
+    normals = jnp.einsum("ji,jhw->ihw", rel_rot_co, grad)
+    hitf = hit[None]
     return {
         "raylengths": jnp.where(hit, t_star, 0.0),
         "vertices": jnp.where(hitf, vertices, 0.0),

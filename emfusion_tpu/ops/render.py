@@ -32,13 +32,14 @@ def render_phong(vertices: jnp.ndarray, normals: jnp.ndarray,
                  light_pos=(0.0, 0.0, 0.0)) -> jnp.ndarray:
     """Phong-shade composited maps.
 
-    vertices/normals: (H, W, 3) camera frame; segmentation: (H, W) int ids;
-    colormap: (256, 3) uint8. Returns (H, W, 3) uint8.
+    vertices/normals: component-first (3, H, W) camera frame;
+    segmentation: (H, W) int ids; colormap: (256, 3) uint8.
+    Returns (H, W, 3) uint8.
     Coefficients match the reference: ka=.3, kd=.5, ks=.2, alpha=20.
     """
     ka, kd, ks, alpha = 0.3, 0.5, 0.2, 20
-    p = vertices
-    n = normals
+    p = jnp.moveaxis(vertices, 0, -1)
+    n = jnp.moveaxis(normals, 0, -1)
     valid = jnp.any(p != 0.0, axis=-1)
 
     colors = jnp.take(jnp.asarray(colormap, dtype=jnp.float32) / 255.0,

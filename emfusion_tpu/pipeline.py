@@ -48,6 +48,7 @@ from emfusion_tpu.ops.association import association_weights, \
 from emfusion_tpu.ops.fusion import (
     integrate_tsdf, compute_gradients, integrate_fg_mask,
 )
+from emfusion_tpu.ops.fusion_pencil import integrate_tsdf_pencil
 from emfusion_tpu.ops.raycast import raycast_volume
 from emfusion_tpu.ops.render import render_phong, make_colormap
 from emfusion_tpu.tracking import TrackConfig, track_volume
@@ -59,8 +60,8 @@ class ObjectPool:
     """Batched object volumes (fixed K slots, static shapes)."""
     tsdf: jnp.ndarray        # (K, Z, Y, X)
     weights: jnp.ndarray     # (K, Z, Y, X)
-    grads: jnp.ndarray       # (K, Z, Y, X, 3)
-    fg_counts: jnp.ndarray   # (K, Z, Y, X, 2)
+    grads: jnp.ndarray       # (K, 3, Z, Y, X) channel-first
+    fg_counts: jnp.ndarray   # (K, 2, Z, Y, X) channel-first
     pose: jnp.ndarray        # (K, 4, 4) object-to-world
     voxel_size: jnp.ndarray  # (K,)
     truncdist: jnp.ndarray   # (K,)
@@ -152,8 +153,8 @@ class EMFusionPipeline:
         objs = ObjectPool(
             tsdf=jnp.zeros((K, Zo, Yo, Xo), f32),
             weights=jnp.zeros((K, Zo, Yo, Xo), f32),
-            grads=jnp.zeros((K, Zo, Yo, Xo, 3), f32),
-            fg_counts=jnp.zeros((K, Zo, Yo, Xo, 2), f32),
+            grads=jnp.zeros((K, 3, Zo, Yo, Xo), f32),
+            fg_counts=jnp.zeros((K, 2, Zo, Yo, Xo), f32),
             pose=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
             voxel_size=jnp.ones((K,), f32),
             truncdist=jnp.ones((K,), f32),
@@ -165,7 +166,7 @@ class EMFusionPipeline:
         return PipelineState(
             bg_tsdf=jnp.zeros((Z, Y, X), f32),
             bg_weights=jnp.zeros((Z, Y, X), f32),
-            bg_grads=jnp.zeros((Z, Y, X, 3), f32),
+            bg_grads=jnp.zeros((3, Z, Y, X), f32),
             bg_pose=jnp.asarray(p.volume_pose_matrix()),
             bg_assoc=jnp.ones((H, W), f32),   # EMFusion.cpp:55
             cam_pose=jnp.eye(4, dtype=f32),
@@ -210,7 +211,7 @@ class EMFusionPipeline:
         def track_all(state: PipelineState, points):
             """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
             then all objects batched."""
-            pts = points.reshape(-1, 3)
+            pts = points.reshape(3, -1)
             rel_init = reorthonormalize(
                 pose_inverse(state.bg_pose) @ state.cam_pose)
             rel, _ = track_volume(
@@ -267,14 +268,13 @@ class EMFusionPipeline:
             any_obj = jnp.isfinite(min_ray)
 
             def take_best(stack):
-                return jnp.take_along_axis(
-                    stack, best[None, ..., None] if stack.ndim == 4
-                    else best[None, ...], axis=0)[0]
+                idx = best[None, None] if stack.ndim == 4 else best[None]
+                return jnp.take_along_axis(stack, idx, axis=0)[0]
 
             comp_ray = jnp.where(any_obj, min_ray, 0.0)
-            comp_verts = jnp.where(any_obj[..., None],
+            comp_verts = jnp.where(any_obj[None],
                                    take_best(obj_rc["vertices"]), 0.0)
-            comp_norms = jnp.where(any_obj[..., None],
+            comp_norms = jnp.where(any_obj[None],
                                    take_best(obj_rc["normals"]), 0.0)
             seg = jnp.where(any_obj, o.object_id[best], 0)
 
@@ -283,9 +283,9 @@ class EMFusionPipeline:
                 (comp_ray - bg_rc["raylengths"] > 0.05)
             seg = jnp.where(take_bg, 0, seg)
             no_obj = seg == 0
-            vertices = jnp.where(no_obj[..., None], bg_rc["vertices"],
+            vertices = jnp.where(no_obj[None], bg_rc["vertices"],
                                  comp_verts)
-            normals = jnp.where(no_obj[..., None], bg_rc["normals"],
+            normals = jnp.where(no_obj[None], bg_rc["normals"],
                                 comp_norms)
 
             # visibility: enough seg pixels inside the boundary-eroded frame
@@ -305,11 +305,18 @@ class EMFusionPipeline:
                 "vis_counts": vis_counts,
             }
 
+        backend = p.fusion_backend
+        if backend == "auto":
+            backend = ("pencil" if jax.default_backend() not in ("cpu",)
+                       else "gather")
+        fuse_fn = (integrate_tsdf_pencil if backend == "pencil"
+                   else integrate_tsdf)
+
         def integrate(state: PipelineState, depth):
             """integrateDepth (EMFusion.cpp:865-889): bg + visible objects,
             then gradient update."""
             rel_bg_oc = pose_inverse(state.cam_pose) @ state.bg_pose
-            bg_t, bg_w = integrate_tsdf(
+            bg_t, bg_w = fuse_fn(
                 state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
                 rel_bg_oc[:3, :3], rel_bg_oc[:3, 3], intr, bg_voxel,
                 bg_trunc, tsdfp.maxTSDFWeight)
@@ -319,9 +326,9 @@ class EMFusionPipeline:
 
             def obj_int(tsdf, weights, grads, pose, vs, td, assoc, upd):
                 rel_oc = pose_inverse(state.cam_pose) @ pose
-                t2, w2 = integrate_tsdf(tsdf, weights, depth, assoc,
-                                        rel_oc[:3, :3], rel_oc[:3, 3], intr,
-                                        vs, td, tsdfp.maxTSDFWeight)
+                t2, w2 = fuse_fn(tsdf, weights, depth, assoc,
+                                 rel_oc[:3, :3], rel_oc[:3, 3], intr,
+                                 vs, td, tsdfp.maxTSDFWeight)
                 g2 = compute_gradients(t2)
                 t2 = jnp.where(upd, t2, tsdf)
                 w2 = jnp.where(upd, w2, weights)
@@ -434,17 +441,19 @@ class EMFusionPipeline:
             zi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 0)
             yi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 1)
             xi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 2)
-            p_new = jnp.stack([(xi - (X - 1) / 2) * new_vs,
-                               (yi - (Y - 1) / 2) * new_vs,
-                               (zi - (Z - 1) / 2) * new_vs], -1)
-            p_old = p_new + center
-            v = p_old / old_vs + (res - 1.0) / 2.0
-            ok = jnp.all((v >= 0) & (v + 1 < res), axis=-1)
+            vx = ((xi - (X - 1) / 2) * new_vs + center[0]) / old_vs \
+                + (X - 1.0) / 2.0
+            vy = ((yi - (Y - 1) / 2) * new_vs + center[1]) / old_vs \
+                + (Y - 1.0) / 2.0
+            vz = ((zi - (Z - 1) / 2) * new_vs + center[2]) / old_vs \
+                + (Z - 1.0) / 2.0
+            ok = (vx >= 0) & (vy >= 0) & (vz >= 0) \
+                & (vx + 1 < X) & (vy + 1 < Y) & (vz + 1 < Z)
             from emfusion_tpu.geometry.sampling import \
                 trilinear_sample, trilinear_sample_channels
-            t2 = trilinear_sample(tsdf, v, ok)
-            w2 = trilinear_sample(weights, v, ok)
-            f2 = trilinear_sample_channels(fgc, v, ok)
+            t2 = trilinear_sample(tsdf, vx, vy, vz, ok)
+            w2 = trilinear_sample(weights, vx, vy, vz, ok)
+            f2 = trilinear_sample_channels(fgc, vx, vy, vz, ok)
             g2 = compute_gradients(t2)
             return t2, w2, g2, f2
 
@@ -525,10 +534,10 @@ class EMFusionPipeline:
         if n == 0:
             return 0
 
-        depth_np = np.asarray(points)[..., 2]
+        depth_np = np.asarray(points)[2]
         valid_points = depth_np > 0
         cam = np.asarray(self.state.cam_pose)
-        pts_w = (np.asarray(points).reshape(-1, 3) @ cam[:3, :3].T
+        pts_w = (np.asarray(points).reshape(3, -1).T @ cam[:3, :3].T
                  + cam[:3, 3]).astype(np.float32)
 
         seg_map = np.asarray(rc["seg"]) if rc is not None else \

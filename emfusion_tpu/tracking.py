@@ -54,7 +54,7 @@ class _LMState(NamedTuple):
     first: jnp.ndarray      # bool
     eval_grad: jnp.ndarray  # bool
     converged: jnp.ndarray  # bool
-    J: jnp.ndarray          # (N,6)
+    J: jnp.ndarray          # (6, N)
     w: jnp.ndarray          # (N,)
     A: jnp.ndarray          # (6,6)
     b: jnp.ndarray          # (6,)
@@ -78,8 +78,10 @@ def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
     """Run the LM loop for one volume.
 
     Args:
-      tsdf/weights: (Z, Y, X); grads: (Z, Y, X, 3) (voxel units).
-      points: (N, 3) camera-space points (invalid ones have z <= 0).
+      tsdf/weights: (Z, Y, X); grads: channel-first (3, Z, Y, X)
+        (voxel units).
+      points: component-first (3, N) camera-space points (invalid ones
+        have z <= 0).
       assoc: (N,) association weights for this model.
       rel_pose_co: (4, 4) initial camera-to-object transform (caller should
         have re-orthonormalized it, see ``geometry.se3.reorthonormalize``).
@@ -87,7 +89,7 @@ def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
 
     Returns (rel_pose_co_final (4,4), stats dict).
     """
-    N = points.shape[0]
+    N = points.shape[1]
     f32 = jnp.float32
 
     def eval_system(R, t):
@@ -96,10 +98,10 @@ def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
         # J translation part: trilinear grad / voxel size, margin 2
         # (``kernel_computePoseGradients``, TSDF.cu:603-660)
         g3 = sample_volume_at_points(grads, points, R, t, voxel_size,
-                                     margin=2) / voxel_size
-        p = points @ R.T + t
-        grad_r = jnp.cross(p, g3)
-        J = jnp.concatenate([g3, grad_r], axis=-1)
+                                     margin=2) / voxel_size   # (3, N)
+        p = R @ points + t[:, None]                            # (3, N)
+        grad_r = jnp.cross(p, g3, axis=0)
+        J = jnp.concatenate([g3, grad_r], axis=0)              # (6, N)
 
         intw = sample_volume_at_points(weights, points, R, t, voxel_size,
                                        margin=1)
@@ -116,9 +118,9 @@ def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
         return psi, J, w
 
     def build_normal_eqs(J, w, psi):
-        Jw = J * w[:, None]
-        A = Jw.T @ J
-        b = Jw.T @ psi
+        Jw = J * w[None, :]          # (6, N)
+        A = Jw @ J.T                 # (6, 6)
+        b = Jw @ psi                 # (6,)
         return A, b
 
     def body(s: _LMState) -> _LMState:
@@ -188,7 +190,7 @@ def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
         mu=jnp.asarray(0.0, f32), nu=jnp.asarray(cfg.nu_init, f32),
         first=jnp.asarray(True), eval_grad=jnp.asarray(True),
         converged=jnp.asarray(~jnp.asarray(active, bool)),
-        J=jnp.zeros((N, 6), f32), w=jnp.zeros((N,), f32),
+        J=jnp.zeros((6, N), f32), w=jnp.zeros((N,), f32),
         A=jnp.eye(6, dtype=f32), b=jnp.zeros((6,), f32),
         it=jnp.int32(0))
 

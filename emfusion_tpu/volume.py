@@ -27,11 +27,12 @@ class TSDFVolume:
       tsdf: (Z, Y, X) truncated signed distance, in units of truncdist
         (range [-1, 1]).
       weights: (Z, Y, X) integration weights.
-      grads: (Z, Y, X, 3) forward-difference gradient of tsdf (voxel units).
+      grads: (3, Z, Y, X) forward-difference gradient of tsdf (voxel
+        units), channel-first for TPU tiling.
       pose: (4, 4) volume-to-world transform (volume center at origin).
       voxel_size: scalar array — metric edge length of a voxel.
       truncdist: scalar array — metric truncation distance.
-      fg_counts: optional (Z, Y, X, 2) foreground/background counters
+      fg_counts: optional (2, Z, Y, X) foreground/background counters
         (object volumes only).
     """
 
@@ -64,11 +65,11 @@ def make_volume(res_xyz: Tuple[int, int, int], voxel_size: float,
     return TSDFVolume(
         tsdf=zeros,
         weights=zeros,
-        grads=jnp.zeros((Z, Y, X, 3), dtype=dtype),
+        grads=jnp.zeros((3, Z, Y, X), dtype=dtype),
         pose=jnp.asarray(pose, dtype=jnp.float32),
         voxel_size=jnp.asarray(voxel_size, dtype=jnp.float32),
         truncdist=jnp.asarray(truncdist, dtype=jnp.float32),
-        fg_counts=jnp.zeros((Z, Y, X, 2), dtype=dtype) if with_fg else None,
+        fg_counts=jnp.zeros((2, Z, Y, X), dtype=dtype) if with_fg else None,
     )
 
 
@@ -83,6 +84,6 @@ def volume_corners(res_xyz, voxel_size):
 def fg_probs(fg_counts: jnp.ndarray) -> jnp.ndarray:
     """Per-voxel foreground probability fg/(fg+bg), 0 where no evidence
     (reference ``ObjTSDF::computeFgProbs``, ``src/core/ObjTSDF.cpp:218-226``)."""
-    total = fg_counts[..., 0] + fg_counts[..., 1]
-    return jnp.where(total > 0, fg_counts[..., 0] / jnp.maximum(total, 1e-30),
+    total = fg_counts[0] + fg_counts[1]
+    return jnp.where(total > 0, fg_counts[0] / jnp.maximum(total, 1e-30),
                      0.0)

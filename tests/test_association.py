@@ -11,7 +11,7 @@ def test_laplace_peak_at_surface(rng):
     # small values around the surface
     Z = Y = X = 16
     tsdf = np.full((Z, Y, X), 0.001, np.float32)
-    pts = jnp.array([[0.0, 0.0, 1.0]])
+    pts = jnp.array([[0.0], [0.0], [1.0]])
     rel_t = jnp.array([0.0, 0.0, -1.0])
     sigma, trunc = 0.02, 0.1
     lap, invalid = compute_laplace(jnp.asarray(tsdf), pts, jnp.eye(3), rel_t,
@@ -25,7 +25,7 @@ def test_laplace_peak_at_surface(rng):
 
 def test_association_invalid_outside(rng):
     tsdf = np.full((8, 8, 8), 0.5, np.float32)
-    pts = jnp.array([[5.0, 0.0, 1.0]])  # far outside
+    pts = jnp.array([[5.0], [0.0], [1.0]])  # far outside
     w, _ = association_weights(jnp.asarray(tsdf), pts, jnp.eye(3),
                                jnp.array([0.0, 0.0, -1.0]), 0.1, 0.1,
                                0.02, 0.8, 1.0)
@@ -34,7 +34,7 @@ def test_association_invalid_outside(rng):
 
 def test_association_mixture(rng):
     tsdf = np.full((8, 8, 8), 0.5, np.float32)
-    pts = jnp.array([[0.0, 0.0, 1.0]])
+    pts = jnp.array([[0.0], [0.0], [1.0]])
     rel_t = jnp.array([0.0, 0.0, -1.0])
     sigma, trunc, alpha, uni = 0.02, 0.1, 0.8, 1.0
     w, _ = association_weights(jnp.asarray(tsdf), pts, jnp.eye(3), rel_t,
@@ -47,7 +47,7 @@ def test_association_mixture(rng):
 def test_association_fg_prob_scaling(rng):
     tsdf = np.full((8, 8, 8), 0.1, np.float32)
     fg = np.full((8, 8, 8), 0.25, np.float32)
-    pts = jnp.array([[0.0, 0.0, 1.0]])
+    pts = jnp.array([[0.0], [0.0], [1.0]])
     rel_t = jnp.array([0.0, 0.0, -1.0])
     sigma, trunc, alpha, uni = 0.02, 0.1, 0.8, 1.0
     w_nofg, _ = association_weights(jnp.asarray(tsdf), pts, jnp.eye(3), rel_t,

@@ -116,16 +116,16 @@ def test_integrate_plane_surface():
 
 def test_compute_gradients_matches_diff(rng):
     vol = rng.randn(6, 7, 8).astype(np.float32)
-    g = np.asarray(compute_gradients(jnp.asarray(vol)))
-    np.testing.assert_allclose(g[2, 3, 4, 0], vol[2, 3, 5] - vol[2, 3, 4],
+    g = np.asarray(compute_gradients(jnp.asarray(vol)))   # (3, Z, Y, X)
+    np.testing.assert_allclose(g[0, 2, 3, 4], vol[2, 3, 5] - vol[2, 3, 4],
                                atol=1e-6)
-    np.testing.assert_allclose(g[2, 3, 4, 1], vol[2, 4, 4] - vol[2, 3, 4],
+    np.testing.assert_allclose(g[1, 2, 3, 4], vol[2, 4, 4] - vol[2, 3, 4],
                                atol=1e-6)
-    np.testing.assert_allclose(g[2, 3, 4, 2], vol[3, 3, 4] - vol[2, 3, 4],
+    np.testing.assert_allclose(g[2, 2, 3, 4], vol[3, 3, 4] - vol[2, 3, 4],
                                atol=1e-6)
     # boundary slabs zero
-    assert (g[-1] == 0).all() and (g[:, -1] == 0).all() \
-        and (g[:, :, -1] == 0).all()
+    assert (g[:, -1] == 0).all() and (g[:, :, -1] == 0).all() \
+        and (g[:, :, :, -1] == 0).all()
 
 
 def test_integrate_fg_mask(rng):
@@ -135,7 +135,7 @@ def test_integrate_fg_mask(rng):
     voxel = 0.1
     tsdf = np.zeros((Z, Y, X), np.float32)  # all |tsdf| < 1
     weights = np.ones((Z, Y, X), np.float32)
-    fg = np.zeros((Z, Y, X, 2), np.float32)
+    fg = np.zeros((2, Z, Y, X), np.float32)
     mask = np.zeros((H, W), bool)
     mask[:, :8] = True  # left half foreground
     occ = np.zeros((H, W), bool)
@@ -146,8 +146,8 @@ def test_integrate_fg_mask(rng):
         jnp.asarray(mask), jnp.asarray(occ), jnp.eye(3), jnp.asarray(trans),
         jnp.asarray(intr), voxel))
     # left-of-center voxels (negative x) project onto mask -> fg count
-    assert out[4, 4, 1, 0] == 1.0 and out[4, 4, 1, 1] == 0.0
-    assert out[4, 4, 6, 0] == 0.0 and out[4, 4, 6, 1] == 1.0
+    assert out[0, 4, 4, 1] == 1.0 and out[1, 4, 4, 1] == 0.0
+    assert out[0, 4, 4, 6] == 0.0 and out[1, 4, 4, 6] == 1.0
 
     # occluded pixels do not update
     occ[:, :] = True

@@ -39,10 +39,10 @@ def test_raycast_sphere_center_ray():
     # center ray hits the sphere at depth 1.5 - 0.5 = 1.0
     np.testing.assert_allclose(ray[cy, cx], 1.0, atol=voxel)
     # vertex in camera coords near (0, 0, 1)
-    v = np.asarray(out["vertices"])[cy, cx]
+    v = np.asarray(out["vertices"])[:, cy, cx]
     np.testing.assert_allclose(v, [0.0, 0.0, 1.0], atol=2 * voxel)
     # normal points back toward the camera (-z dominant)
-    n = np.asarray(out["normals"])[cy, cx]
+    n = np.asarray(out["normals"])[:, cy, cx]
     assert n[2] < -0.9
 
 

@@ -25,7 +25,9 @@ def numpy_trilerp(vol, v):
 def test_trilinear_matches_numpy(rng):
     vol = rng.randn(6, 7, 8).astype(np.float32)
     pts = rng.uniform(0.2, 4.5, size=(50, 3)).astype(np.float32)
-    out = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.asarray(pts)))
+    out = np.asarray(trilinear_sample(
+        jnp.asarray(vol), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+        jnp.asarray(pts[:, 2])))
     for i in range(50):
         expect = numpy_trilerp(vol, pts[i])
         np.testing.assert_allclose(out[i], expect, atol=1e-5)
@@ -34,8 +36,8 @@ def test_trilinear_matches_numpy(rng):
 def test_trilinear_at_grid_points(rng):
     vol = rng.randn(5, 5, 5).astype(np.float32)
     # exact grid point recovers the voxel value
-    v = jnp.array([[2.0, 3.0, 1.0]])
-    out = np.asarray(trilinear_sample(jnp.asarray(vol), v))
+    out = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.array([2.0]),
+                                      jnp.array([3.0]), jnp.array([1.0])))
     np.testing.assert_allclose(out[0], vol[1, 3, 2], atol=1e-6)
 
 
@@ -50,20 +52,20 @@ def test_grid_world_roundtrip():
 def test_sample_volume_invalid_zones(rng):
     vol = jnp.asarray(rng.rand(8, 8, 8).astype(np.float32) + 1.0)
     # point behind camera -> 0
-    pts = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 0.0]])
+    pts = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 0.0]]).T
     out = np.asarray(sample_volume_at_points(
         vol, pts, jnp.eye(3), jnp.zeros(3), 0.1, margin=1))
     assert out[0] == 0.0
     assert out[1] == 0.0  # z == 0 invalid too
 
     # point far outside the volume -> 0
-    pts = jnp.array([[10.0, 0.0, 1.0]])
+    pts = jnp.array([[10.0], [0.0], [1.0]])
     out = np.asarray(sample_volume_at_points(
         vol, pts, jnp.eye(3), jnp.zeros(3), 0.1, margin=1))
     assert out[0] == 0.0
 
     # point at volume center (grid coord 3.5 each) -> nonzero
-    pts = jnp.array([[0.0, 0.0, 0.5]])
+    pts = jnp.array([[0.0], [0.0], [0.5]])
     rel_t = jnp.array([0.0, 0.0, -0.5])  # maps to origin in volume frame
     out = np.asarray(sample_volume_at_points(
         vol, pts, jnp.eye(3), rel_t, 0.1, margin=1))
@@ -76,7 +78,7 @@ def test_margin_semantics(rng):
     # grid coord exactly 6.5: v+1 = 7.5 < 8 ok for margin 1; v+2 = 8.5 >= 8
     # fails for margin 2.
     p = (6.5 - 3.5) * 0.1  # grid 6.5 -> object coord
-    pts = jnp.array([[p, 0.0, 1.0]])
+    pts = jnp.array([[p], [0.0], [1.0]])
     rel_t = jnp.array([0.0, 0.0, -1.0])
     out1 = np.asarray(sample_volume_at_points(vol, pts, jnp.eye(3), rel_t,
                                               0.1, margin=1))
@@ -91,8 +93,8 @@ def test_backproject_depth():
     depth = jnp.full((48, 64), 2.0)
     pts = np.asarray(backproject_depth(depth, intr))
     # center pixel: x=32 -> u=0
-    np.testing.assert_allclose(pts[24, 32], [0, 0, 2.0], atol=1e-5)
-    np.testing.assert_allclose(pts[24, 42], [0.2, 0, 2.0], atol=1e-5)
+    np.testing.assert_allclose(pts[:, 24, 32], [0, 0, 2.0], atol=1e-5)
+    np.testing.assert_allclose(pts[:, 24, 42], [0.2, 0, 2.0], atol=1e-5)
 
 
 def test_preprocess_depth_flat_region():
