@@ -107,6 +107,14 @@ class Params:
     # (XLA's gather is a ~0.11 G elem/s scalar loop there) and the direct
     # gather formulation elsewhere; "pencil"/"gather" force one.
     fusion_backend: str = "auto"
+    # Raycast backend: "auto" = B-space plane sweep on TPU (the lock-step
+    # per-ray march would do ~50M scalar gathers/frame there), lock-step
+    # march elsewhere; "sweep"/"march" force one.
+    raycast_backend: str = "auto"
+    # LM tracking pixel stride (points are subsampled stride x stride).
+    # 0 = auto: 1 on CPU (exact reference behavior), 3 on TPU where the
+    # per-iteration trilinear gathers run on XLA's scalar gather path.
+    tracking_stride: int = 0
 
     @property
     def intr(self) -> np.ndarray:
@@ -172,11 +180,13 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
             raise ValueError("volumePose expects 3 floats (translation)")
     elif key == "fusion_backend":
         params.fusion_backend = v.strip()
+    elif key == "raycast_backend":
+        params.raycast_backend = v.strip()
     elif key == "ignore_person":
         params.ignore_person = v.strip().lower() in ("yes", "true", "1", "on")
     elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",
                  "visibilityThresh", "boundary", "max_objects",
-                 "raycast_max_steps", "mc_max_verts"):
+                 "raycast_max_steps", "mc_max_verts", "tracking_stride"):
         setattr(params, key, int(v))
     elif hasattr(params, key):
         setattr(params, key, float(v))

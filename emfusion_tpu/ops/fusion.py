@@ -122,14 +122,17 @@ def compute_gradients(tsdf: jnp.ndarray) -> jnp.ndarray:
     zero (``kernel_computeTSDFGrads``, ``TSDF.cu:429-464``). A trailing
     channel axis would be lane-padded 3 -> 128 on TPU."""
     Z, Y, X = tsdf.shape
-    gx = jnp.zeros_like(tsdf).at[:, :, :-1].set(tsdf[:, :, 1:] - tsdf[:, :, :-1])
-    gy = jnp.zeros_like(tsdf).at[:, :-1, :].set(tsdf[:, 1:, :] - tsdf[:, :-1, :])
-    gz = jnp.zeros_like(tsdf).at[:-1, :, :].set(tsdf[1:, :, :] - tsdf[:-1, :, :])
-    # reference zeroes the full boundary slab (kernel guard is on any axis)
-    mask = jnp.ones((Z, Y, X), dtype=bool)
-    mask = mask.at[-1, :, :].set(False)
-    mask = mask.at[:, -1, :].set(False)
-    mask = mask.at[:, :, -1].set(False)
+    # shift-and-subtract via roll keeps this one fused elementwise pass on
+    # TPU (dynamic-update-slice writes cost several extra volume copies)
+    gx = jnp.roll(tsdf, -1, axis=2) - tsdf
+    gy = jnp.roll(tsdf, -1, axis=1) - tsdf
+    gz = jnp.roll(tsdf, -1, axis=0) - tsdf
+    # reference zeroes the full boundary slab (kernel guard is on any axis);
+    # this also kills the roll wrap-around values
+    zi = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, X), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, X), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (Z, Y, X), 2)
+    mask = (zi < Z - 1) & (yi < Y - 1) & (xi < X - 1)
     g = jnp.stack([gx, gy, gz], axis=0)
     return jnp.where(mask[None], g, 0.0)
 

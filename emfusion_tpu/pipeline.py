@@ -50,6 +50,7 @@ from emfusion_tpu.ops.fusion import (
 )
 from emfusion_tpu.ops.fusion_pencil import integrate_tsdf_pencil
 from emfusion_tpu.ops.raycast import raycast_volume
+from emfusion_tpu.ops.raycast_sweep import raycast_sweep
 from emfusion_tpu.ops.render import render_phong, make_colormap
 from emfusion_tpu.tracking import TrackConfig, track_volume
 from emfusion_tpu.volume import fg_probs as compute_fg_probs
@@ -208,44 +209,79 @@ class EMFusionPipeline:
             return state.replace(bg_assoc=bg_n,
                                  objs=o.replace(assoc=obj_n))
 
-        def track_all(state: PipelineState, points):
-            """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
-            then all objects batched."""
-            pts = points.reshape(3, -1)
+        stride = p.tracking_stride
+        if stride == 0:
+            stride = 1 if jax.default_backend() in ("cpu",) else 3
+
+        def _track_pts(points, assoc):
+            """Subsampled tracking points + matching association weights."""
+            pts = points[:, ::stride, ::stride].reshape(3, -1)
+            return pts, assoc[::stride, ::stride].reshape(-1)
+
+        def track_camera(state: PipelineState, points):
+            """Camera-vs-background LM (performTracking, first half)."""
+            pts, asc = _track_pts(points, state.bg_assoc)
             rel_init = reorthonormalize(
                 pose_inverse(state.bg_pose) @ state.cam_pose)
             rel, _ = track_volume(
                 state.bg_tsdf, state.bg_grads, state.bg_weights, bg_voxel,
-                pts, state.bg_assoc.reshape(-1), rel_init, cfg)
-            cam_pose = state.bg_pose @ rel
-            state = state.replace(cam_pose=cam_pose)
+                pts, asc, rel_init, cfg)
+            return state.replace(cam_pose=state.bg_pose @ rel)
 
-            state = estep(state, points)
-
+        def track_objs_subset(state: PipelineState, points, slots):
+            """Object LM over the given pool slots only (the reference
+            loops over live objects, EMFusion.cpp:692-720; running just
+            the active subset avoids paying K x the gather cost)."""
             o = state.objs
+            cam_pose = state.cam_pose
 
             def track_obj(tsdf, grads, weights, vs, pose, assoc, active):
+                pts, asc = _track_pts(points, assoc)
                 rel_i = reorthonormalize(pose_inverse(pose) @ cam_pose)
                 rel_o, _ = track_volume(tsdf, grads, weights, vs, pts,
-                                        assoc.reshape(-1), rel_i, cfg,
-                                        active=active)
+                                        asc, rel_i, cfg, active=active)
                 # ObjTSDF::syncTrack: pose = cam_pose * rel^-1
                 return cam_pose @ pose_inverse(rel_o)
 
-            new_poses = jax.vmap(track_obj)(
-                o.tsdf, o.grads, o.weights, o.voxel_size, o.pose, o.assoc,
-                o.active)
-            new_poses = jnp.where(o.active[:, None, None], new_poses, o.pose)
-            return state.replace(objs=o.replace(pose=new_poses))
+            def take(arr):
+                return jnp.take(arr, slots, axis=0)
+
+            new_sub = jax.vmap(track_obj)(
+                take(o.tsdf), take(o.grads), take(o.weights),
+                take(o.voxel_size), take(o.pose), take(o.assoc),
+                take(o.active))
+            new_sub = jnp.where(take(o.active)[:, None, None], new_sub,
+                                take(o.pose))
+            poses = o.pose.at[slots].set(new_sub)
+            return state.replace(objs=o.replace(pose=poses))
+
+        def track_all(state: PipelineState, points):
+            """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
+            then all objects batched (full-pool variant used by the
+            single-jit frame step / sharding dry runs)."""
+            state = track_camera(state, points)
+            state = estep(state, points)
+            return track_objs_subset(state, points,
+                                     jnp.arange(K, dtype=jnp.int32))
+
+        rc_backend = p.raycast_backend
+        if rc_backend == "auto":
+            rc_backend = ("sweep" if jax.default_backend() not in ("cpu",)
+                          else "march")
+
+        def _rc(tsdf, grads, weights, rel_rot, rel_trans, vs, td):
+            if rc_backend == "sweep":
+                return raycast_sweep(tsdf, weights, rel_rot, rel_trans,
+                                     intr, vs, td, H, W)
+            return raycast_volume(tsdf, grads, weights, rel_rot, rel_trans,
+                                  intr, vs, td, H, W, max_steps=max_steps)
 
         def raycast_all(state: PipelineState):
             """EMFusion::raycast (EMFusion.cpp:726-795): parallel raycasts +
             nearest-surface composite + bg override + visibility."""
             rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
-            bg_rc = raycast_volume(
-                state.bg_tsdf, state.bg_grads, state.bg_weights,
-                rel_bg[:3, :3], rel_bg[:3, 3], intr, bg_voxel, bg_trunc,
-                H, W, max_steps=max_steps)
+            bg_rc = _rc(state.bg_tsdf, state.bg_grads, state.bg_weights,
+                        rel_bg[:3, :3], rel_bg[:3, 3], bg_voxel, bg_trunc)
 
             o = state.objs
 
@@ -253,9 +289,8 @@ class EMFusionPipeline:
                 rel = pose_inverse(pose) @ state.cam_pose
                 fgvol = compute_fg_probs(fgc)
                 rc_weights = jnp.where(fgvol > 0.5, weights, 0.0)
-                return raycast_volume(tsdf, grads, rc_weights, rel[:3, :3],
-                                      rel[:3, 3], intr, vs, td, H, W,
-                                      max_steps=max_steps)
+                return _rc(tsdf, grads, rc_weights, rel[:3, :3],
+                           rel[:3, 3], vs, td)
 
             obj_rc = jax.vmap(obj_rc_fn)(o.tsdf, o.grads, o.weights,
                                          o.fg_counts, o.pose, o.voxel_size,
@@ -379,6 +414,11 @@ class EMFusionPipeline:
         self._frame_track = jax.jit(frame_track)
         self._integrate = jax.jit(integrate)
         self._integrate_masks = jax.jit(integrate_masks)
+        # split frame-step pieces (process_frame path: lets the object LM
+        # run over the active slot subset only)
+        self._track_camera = jax.jit(track_camera)
+        self._track_objs_subset = jax.jit(track_objs_subset)
+        self._raycast_all = jax.jit(raycast_all)
         # raw (unjitted) versions for custom jit wrapping (sharded runs,
         # __graft_entry__, benchmarks)
         self._frame_track_fn = frame_track
@@ -472,8 +512,18 @@ class EMFusionPipeline:
 
         rc = None
         if self.frame > 0:
-            self.state, pre_bg, pre_obj, rc = self._frame_track(
-                self.state, points)
+            state = self._estep(self.state, points)
+            pre_bg = state.bg_assoc
+            state = self._track_camera(state, points)
+            state = self._estep(state, points)   # EMFusion.cpp:687
+            active = np.asarray(state.objs.active)
+            slots = np.nonzero(active)[0]
+            if len(slots) > 0:
+                state = self._track_objs_subset(
+                    state, points, jnp.asarray(slots, jnp.int32))
+            state = self._estep(state, points)   # post-track, :87
+            state, rc = self._raycast_all(state)
+            self.state = state
             self._last_raycast = rc
             if self.save_output:
                 self.outputs["bg_assoc_pre"][self.frame] = np.asarray(pre_bg)
