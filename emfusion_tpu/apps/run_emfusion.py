@@ -124,6 +124,7 @@ def main(argv=None):
     elapsed = time.time() - t_start
     print(f"processed {n} frames in {elapsed:.1f}s "
           f"({n / max(elapsed, 1e-9):.2f} fps)")
+    print(pipe.timer.summary(), file=sys.stderr)
 
     if args.exportdir:
         write_results(pipe, args.exportdir,

@@ -142,6 +142,8 @@ class EMFusionPipeline:
         }
         # last raycast results (host copies of what render() needs)
         self._last_raycast = None
+        from emfusion_tpu.profiling import PhaseTimer
+        self.timer = PhaseTimer()
         self._build_jits()
 
     # ------------------------------------------------------------------
@@ -508,21 +510,28 @@ class EMFusionPipeline:
         p = self.params
         if timestamp is not None:
             self.timestamps[self.frame] = float(timestamp)
-        depth, points = self._preprocess(jnp.asarray(depth_raw))
+        with self.timer.phase("preprocess"):
+            depth, points = self._preprocess(jnp.asarray(depth_raw))
 
         rc = None
         if self.frame > 0:
-            state = self._estep(self.state, points)
+            with self.timer.phase("estep_pre"):
+                state = self._estep(self.state, points)
             pre_bg = state.bg_assoc
-            state = self._track_camera(state, points)
-            state = self._estep(state, points)   # EMFusion.cpp:687
+            with self.timer.phase("track_camera"):
+                state = self._track_camera(state, points)
+            with self.timer.phase("estep_mid"):
+                state = self._estep(state, points)   # EMFusion.cpp:687
             active = np.asarray(state.objs.active)
             slots = np.nonzero(active)[0]
             if len(slots) > 0:
-                state = self._track_objs_subset(
-                    state, points, jnp.asarray(slots, jnp.int32))
-            state = self._estep(state, points)   # post-track, :87
-            state, rc = self._raycast_all(state)
+                with self.timer.phase("track_objects"):
+                    state = self._track_objs_subset(
+                        state, points, jnp.asarray(slots, jnp.int32))
+            with self.timer.phase("estep_post"):
+                state = self._estep(state, points)   # post-track, :87
+            with self.timer.phase("raycast"):
+                state, rc = self._raycast_all(state)
             self.state = state
             self._last_raycast = rc
             if self.save_output:
@@ -535,13 +544,16 @@ class EMFusionPipeline:
         matches: Dict[int, np.ndarray] = {}
         num_instances = -1
         if self.frame % p.maskRCNNFrames == 0:
-            num_instances = self._init_or_match_objs(rgb, points, rc,
-                                                     matches)
+            with self.timer.phase("masks"):
+                num_instances = self._init_or_match_objs(rgb, points, rc,
+                                                         matches)
 
-        self.state = self._integrate(self.state, depth)
+        with self.timer.phase("integrate"):
+            self.state = self._integrate(self.state, depth)
 
         if num_instances > 0:
-            self._apply_mask_integration(matches, rc)
+            with self.timer.phase("integrate_masks"):
+                self._apply_mask_integration(matches, rc)
 
         self._clean_up_objs(num_instances, matches, rc)
 

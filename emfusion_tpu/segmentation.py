@@ -136,6 +136,57 @@ class CallableMaskProvider(MaskProvider):
         return self.fn(rgb, frame_idx)
 
 
+class TorchScriptMaskProvider(MaskProvider):
+    """Live detector via a user-supplied TorchScript module.
+
+    The reference embeds CPython + TF1 Mask R-CNN in-process
+    (``src/core/MaskRCNN.cpp:57-117``); the TPU-host equivalent is a
+    TorchScript instance-segmentation model (CPU torch) loaded from a
+    local path (this environment has no network egress, so weights must
+    be provided by the user).
+
+    Module contract: ``model(image_u8 (H, W, 3) uint8) ->
+    (boxes (N, 4) f32, masks (N, H, W) f32/bool, scores (N, C) f32)``
+    with C == NUM_CLASSES (81) or C == 1 + a separate label tensor is
+    not supported — emit full class-score rows like the reference's
+    re-derived distributions (``apps/maskrcnn.in.py:209-255``).
+    """
+
+    def __init__(self, model_path: str, score_thresh: float = 0.7,
+                 mask_thresh: float = 0.5):
+        import torch
+        self._torch = torch
+        self.model = torch.jit.load(model_path, map_location="cpu")
+        self.model.eval()
+        self.score_thresh = score_thresh
+        self.mask_thresh = mask_thresh
+
+    def detect(self, rgb, frame_idx):
+        if rgb is None:
+            return []
+        torch = self._torch
+        with torch.no_grad():
+            img = torch.from_numpy(np.ascontiguousarray(rgb))
+            boxes, masks, scores = self.model(img)
+        boxes = boxes.cpu().numpy()
+        masks = masks.cpu().numpy()
+        scores = scores.cpu().numpy()
+        dets = []
+        for i in range(len(masks)):
+            s = scores[i]
+            if s.shape[-1] != NUM_CLASSES:
+                full = np.zeros(NUM_CLASSES)
+                full[: s.shape[-1]] = s
+                s = full
+            if float(np.max(s[1:])) < self.score_thresh:
+                continue
+            dets.append(Detection(
+                mask=np.asarray(masks[i]) > self.mask_thresh,
+                scores=np.asarray(s, np.float64),
+                box=np.asarray(boxes[i]) if i < len(boxes) else None))
+        return dets
+
+
 def make_score_vector(class_id: int, score: float = 1.0) -> np.ndarray:
     s = np.zeros(NUM_CLASSES, dtype=np.float64)
     s[class_id] = score
