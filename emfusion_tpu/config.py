@@ -115,6 +115,11 @@ class Params:
     # 0 = auto: 1 on CPU (exact reference behavior), 3 on TPU where the
     # per-iteration trilinear gathers run on XLA's scalar gather path.
     tracking_stride: int = 0
+    # E-step association resolution divisor: weights are computed on an
+    # (H/s, W/s) grid and nearest-upsampled. 1 = exact reference behavior
+    # (default); 2 quarters the per-frame trilinear gather volume on TPU
+    # at the cost of 1-px association blockiness at model boundaries.
+    estep_scale: int = 1
 
     @property
     def intr(self) -> np.ndarray:
@@ -186,7 +191,8 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
         params.ignore_person = v.strip().lower() in ("yes", "true", "1", "on")
     elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",
                  "visibilityThresh", "boundary", "max_objects",
-                 "raycast_max_steps", "mc_max_verts", "tracking_stride"):
+                 "raycast_max_steps", "mc_max_verts", "tracking_stride",
+                 "estep_scale"):
         setattr(params, key, int(v))
     elif hasattr(params, key):
         setattr(params, key, float(v))

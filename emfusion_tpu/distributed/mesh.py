@@ -26,11 +26,41 @@ pick a mesh, annotate, let XLA insert collectives.
 
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed for a multi-host run.
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    CPU/GPU fleets pass coordinator ("host:port"), num_processes and
+    process_id (or set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID). Returns True if distributed mode is active.
+
+    Frame input fan-out across hosts rides DCN: every process runs the
+    same program; host 0 reads frames and the arrays are sharded/
+    replicated by GSPMD from the global mesh (jax.make_array_from_
+    process_local_data for per-host inputs).
+    """
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return jax.process_count() > 1
+    except Exception:
+        return False
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

@@ -140,7 +140,8 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
         import imageio
         for sub, key in (("output", "renderings"),
                          ("assoc_weights/bg/preTrack", "bg_assoc_pre"),
-                         ("assoc_weights/bg/postTrack", "bg_assoc_post")):
+                         ("assoc_weights/bg/postTrack", "bg_assoc_post"),
+                         ("track_weights", "track_weights")):
             d = pipe.outputs.get(key, {})
             if not d:
                 continue

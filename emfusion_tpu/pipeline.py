@@ -138,7 +138,7 @@ class EMFusionPipeline:
         self.outputs: Dict[str, dict] = {
             "bg_assoc_pre": {}, "bg_assoc_post": {},
             "obj_assoc_pre": {}, "obj_assoc_post": {},
-            "renderings": {}, "masks": {},
+            "renderings": {}, "masks": {}, "track_weights": {},
         }
         # last raycast results (host copies of what render() needs)
         self._last_raycast = None
@@ -187,11 +187,17 @@ class EMFusionPipeline:
         cfg = self.track_cfg
         max_steps = p.raycast_max_steps
 
+        escale = max(p.estep_scale, 1)
+
         def estep(state: PipelineState, points):
-            """computeAssociationWeights (EMFusion.cpp:635-670)."""
+            """computeAssociationWeights (EMFusion.cpp:635-670).
+
+            With estep_scale > 1, weights are computed on a subsampled
+            pixel grid and nearest-upsampled back to (H, W)."""
+            pts = points[:, ::escale, ::escale] if escale > 1 else points
             rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
             bg_w, _ = association_weights(
-                state.bg_tsdf, points, rel_bg[:3, :3], rel_bg[:3, 3],
+                state.bg_tsdf, pts, rel_bg[:3, :3], rel_bg[:3, 3],
                 bg_voxel, bg_trunc, tsdfp.assocSigma, tsdfp.alpha,
                 tsdfp.uniPrior)
 
@@ -199,7 +205,7 @@ class EMFusionPipeline:
                 rel = pose_inverse(pose) @ state.cam_pose
                 fgvol = compute_fg_probs(fgc)
                 w, _ = association_weights(
-                    tsdf, points, rel[:3, :3], rel[:3, 3], vs, td,
+                    tsdf, pts, rel[:3, :3], rel[:3, 3], vs, td,
                     tsdfp.assocSigma, tsdfp.alpha, tsdfp.uniPrior,
                     fg_prob_vol=fgvol)
                 return w
@@ -208,6 +214,12 @@ class EMFusionPipeline:
             obj_w = jax.vmap(obj_assoc)(o.tsdf, o.fg_counts, o.pose,
                                         o.voxel_size, o.truncdist)
             bg_n, obj_n = normalize_associations(bg_w, obj_w, o.active)
+            if escale > 1:
+                def up(img):
+                    img = jnp.repeat(img, escale, axis=-2)
+                    img = jnp.repeat(img, escale, axis=-1)
+                    return img[..., :H, :W]
+                bg_n, obj_n = up(bg_n), up(obj_n)
             return state.replace(bg_assoc=bg_n,
                                  objs=o.replace(assoc=obj_n))
 
@@ -221,14 +233,17 @@ class EMFusionPipeline:
             return pts, assoc[::stride, ::stride].reshape(-1)
 
         def track_camera(state: PipelineState, points):
-            """Camera-vs-background LM (performTracking, first half)."""
+            """Camera-vs-background LM (performTracking, first half).
+            Returns (state, track-weight image (H/stride, W/stride))."""
             pts, asc = _track_pts(points, state.bg_assoc)
             rel_init = reorthonormalize(
                 pose_inverse(state.bg_pose) @ state.cam_pose)
-            rel, _ = track_volume(
+            rel, stats = track_volume(
                 state.bg_tsdf, state.bg_grads, state.bg_weights, bg_voxel,
                 pts, asc, rel_init, cfg)
-            return state.replace(cam_pose=state.bg_pose @ rel)
+            tw = stats["track_weights"].reshape(
+                (H + stride - 1) // stride, (W + stride - 1) // stride)
+            return state.replace(cam_pose=state.bg_pose @ rel), tw
 
         def track_objs_subset(state: PipelineState, points, slots):
             """Object LM over the given pool slots only (the reference
@@ -261,7 +276,7 @@ class EMFusionPipeline:
             """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
             then all objects batched (full-pool variant used by the
             single-jit frame step / sharding dry runs)."""
-            state = track_camera(state, points)
+            state, _ = track_camera(state, points)
             state = estep(state, points)
             return track_objs_subset(state, points,
                                      jnp.arange(K, dtype=jnp.int32))
@@ -519,7 +534,10 @@ class EMFusionPipeline:
                 state = self._estep(self.state, points)
             pre_bg = state.bg_assoc
             with self.timer.phase("track_camera"):
-                state = self._track_camera(state, points)
+                state, track_w = self._track_camera(state, points)
+            if self.save_output:
+                self.outputs["track_weights"][self.frame] = \
+                    np.asarray(track_w)
             with self.timer.phase("estep_mid"):
                 state = self._estep(state, points)   # EMFusion.cpp:687
             active = np.asarray(state.objs.active)

@@ -196,6 +196,9 @@ def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
 
     final = jax.lax.while_loop(cond, body, init)
     pose = _pose_mat(final.R, final.t)
+    # final combined per-point weights (huber*int*assoc) — the reference's
+    # track_weights/ debug export (EMFusion.cpp:1125-1160)
     stats = {"iterations": final.it, "converged": final.converged,
-             "grad_norm": jnp.max(jnp.abs(final.b))}
+             "grad_norm": jnp.max(jnp.abs(final.b)),
+             "track_weights": final.w}
     return pose, stats
