@@ -59,6 +59,20 @@ def main(argv=None):
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compilation cache: compiles dominate cold starts on the
+    # remote-compile TPU stack (minutes per program)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from emfusion_tpu.distributed.mesh import initialize_multihost
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("EMF_MULTIHOST"):
+        if initialize_multihost():
+            print(f"multihost: process {jax.process_index()}/"
+                  f"{jax.process_count()}")
 
     from emfusion_tpu.config import Params, load_config, load_calibration
     from emfusion_tpu.io.readers import TUMReader, CoFusionReader

@@ -192,7 +192,7 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
     elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",
                  "visibilityThresh", "boundary", "max_objects",
                  "raycast_max_steps", "mc_max_verts", "tracking_stride",
-                 "estep_scale"):
+                 "estep_scale", "mask_min_pixels"):
         setattr(params, key, int(v))
     elif hasattr(params, key):
         setattr(params, key, float(v))

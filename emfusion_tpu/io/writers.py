@@ -152,6 +152,18 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
                     arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
                 imageio.imwrite(
                     os.path.join(path, sub, f"{idx:04d}.png"), arr)
+        # per-object association dumps: assoc_weights/<id>/{pre,post}Track
+        for key, stage in (("obj_assoc_pre", "preTrack"),
+                           ("obj_assoc_post", "postTrack")):
+            for idx, per_obj in pipe.outputs.get(key, {}).items():
+                for oid, im in per_obj.items():
+                    sub = os.path.join(path, "assoc_weights", str(oid),
+                                       stage)
+                    os.makedirs(sub, exist_ok=True)
+                    arr = np.clip(np.asarray(im) * 255.0, 0,
+                                  255).astype(np.uint8)
+                    imageio.imwrite(
+                        os.path.join(sub, f"{idx:04d}.png"), arr)
     except ImportError:
         pass
 

@@ -533,6 +533,7 @@ class EMFusionPipeline:
             with self.timer.phase("estep_pre"):
                 state = self._estep(self.state, points)
             pre_bg = state.bg_assoc
+            pre_obj = state.objs.assoc
             with self.timer.phase("track_camera"):
                 state, track_w = self._track_camera(state, points)
             if self.save_output:
@@ -556,6 +557,14 @@ class EMFusionPipeline:
                 self.outputs["bg_assoc_pre"][self.frame] = np.asarray(pre_bg)
                 self.outputs["bg_assoc_post"][self.frame] = np.asarray(
                     self.state.bg_assoc)
+                ids = np.asarray(self.state.objs.object_id)
+                act = np.asarray(self.state.objs.active)
+                pre_o = np.asarray(pre_obj)
+                post_o = np.asarray(self.state.objs.assoc)
+                self.outputs["obj_assoc_pre"][self.frame] = {
+                    int(ids[k]): pre_o[k] for k in range(self.K) if act[k]}
+                self.outputs["obj_assoc_post"][self.frame] = {
+                    int(ids[k]): post_o[k] for k in range(self.K) if act[k]}
 
         self._store_poses()
 
