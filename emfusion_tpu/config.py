@@ -119,7 +119,11 @@ class Params:
     # (H/s, W/s) grid and nearest-upsampled. 1 = exact reference behavior
     # (default); 2 quarters the per-frame trilinear gather volume on TPU
     # at the cost of 1-px association blockiness at model boundaries.
-    estep_scale: int = 1
+    estep_scale: int = 0
+    # Run the pencil/sweep interpolation matmuls in hi/lo-split bf16
+    # (exact for fusion's 0/1 matrices, ~1e-3 relative on the sweep's
+    # bilinear blends; uses the MXU's higher bf16 rate).
+    matmul_bf16: bool = False
 
     @property
     def intr(self) -> np.ndarray:
@@ -187,8 +191,9 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
         params.fusion_backend = v.strip()
     elif key == "raycast_backend":
         params.raycast_backend = v.strip()
-    elif key == "ignore_person":
-        params.ignore_person = v.strip().lower() in ("yes", "true", "1", "on")
+    elif key in ("ignore_person", "matmul_bf16"):
+        setattr(params, key,
+                v.strip().lower() in ("yes", "true", "1", "on"))
     elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",
                  "visibilityThresh", "boundary", "max_objects",
                  "raycast_max_steps", "mc_max_verts", "tracking_stride",

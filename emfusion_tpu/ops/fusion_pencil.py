@@ -112,10 +112,43 @@ def _nearest_matrix(src_size: int, out_coords: jnp.ndarray) -> jnp.ndarray:
     return (rows == idx[None, :]).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("SB", "LB"))
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x to ~1e-6 relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _matmul_gather(E_src, data, E_dst, bf16: bool):
+    """depth_val[y, x] = sum_s sum_l E_src[s,y] data[s,l] E_dst[l,x].
+
+    With ``bf16`` the 0/1 selection matrices are cast to bf16 (exact) and
+    the f32 data is hi/lo-split, trading one f32 einsum chain for two
+    bf16 chains — a large win on MXUs whose bf16 rate exceeds f32.
+    """
+    f32 = jnp.float32
+    if not bf16:
+        tmp = jnp.einsum("sl,sy->yl", data, E_src,
+                         preferred_element_type=f32)
+        return jnp.einsum("yl,lx->yx", tmp, E_dst,
+                          preferred_element_type=f32)
+    Es = E_src.astype(jnp.bfloat16)
+    Ed = E_dst.astype(jnp.bfloat16)
+    hi, lo = _split_bf16(data)
+    out = None
+    for part in (hi, lo):
+        tmp = jnp.einsum("sl,sy->yl", part, Es,
+                         preferred_element_type=f32)
+        r = jnp.einsum("yl,lx->yx", tmp.astype(jnp.bfloat16), Ed,
+                       preferred_element_type=f32)
+        out = r if out is None else out + r
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("SB", "LB", "bf16"))
 def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
                       intr, voxel_size, truncdist, max_weight,
-                      SB: int, LB: int):
+                      SB: int, LB: int, bf16: bool = False):
     Z, Y, X = tsdf.shape
     H, W = depth.shape
     f32 = jnp.float32
@@ -163,14 +196,8 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
         # masks below (cam_z) make those voxels no-ops; indices are junk
         Ecol = _nearest_matrix(LB, ja)                          # (LB, X)
         Erow = _nearest_matrix(SB, ib)                          # (SB, Y)
-        tmp = jnp.einsum("sl,sy->yl", D_B, Erow,
-                         preferred_element_type=f32)            # (Y, LB)
-        depth_val = jnp.einsum("yl,lx->yx", tmp, Ecol,
-                               preferred_element_type=f32)
-        tmp2 = jnp.einsum("sl,sy->yl", A_B, Erow,
-                          preferred_element_type=f32)
-        assoc_val = jnp.einsum("yl,lx->yx", tmp2, Ecol,
-                               preferred_element_type=f32)
+        depth_val = _matmul_gather(Erow, D_B, Ecol, bf16)
+        assoc_val = _matmul_gather(Erow, A_B, Ecol, bf16)
 
         # exact per-voxel projection for masks / sdf
         camx = capx[0] * pv + capy[0] * qv + cc[0]
@@ -220,7 +247,8 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 
 def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
                           rel_trans_oc, intr, voxel_size, truncdist,
-                          max_weight, oversample: float = 1.5
+                          max_weight, oversample: float = 1.5,
+                          bf16: bool = False
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`."""
     tsdf = jnp.asarray(tsdf, jnp.float32)
@@ -233,4 +261,5 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
         jnp.asarray(assoc_weights, jnp.float32),
         jnp.asarray(rel_rot_oc), jnp.asarray(rel_trans_oc),
         jnp.asarray(intr), jnp.float32(voxel_size),
-        jnp.float32(truncdist), jnp.float32(max_weight), SB=SB, LB=LB)
+        jnp.float32(truncdist), jnp.float32(max_weight), SB=SB, LB=LB,
+        bf16=bf16)

@@ -57,9 +57,36 @@ def _linear_matrix(src_size: int, coords: jnp.ndarray) -> jnp.ndarray:
     return w0 + w1
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "SB", "LB"))
+def _resample_slice(tslice, Erow, Ecol, bf16: bool):
+    """out[s, l] = sum_y sum_x Erow[y, s] tslice[y, x] Ecol[x, l].
+
+    bf16: cast the interpolation matrices to bf16 and hi/lo-split the
+    field data (~1e-3 relative error on the in-plane bilinear blend,
+    negligible against the truncdist-scale TSDF values)."""
+    f32 = jnp.float32
+    if not bf16:
+        tmp = jnp.einsum("ys,yx->sx", Erow, tslice,
+                         preferred_element_type=f32)
+        return jnp.einsum("sx,xl->sl", tmp, Ecol,
+                          preferred_element_type=f32)
+    Er = Erow.astype(jnp.bfloat16)
+    Ec = Ecol.astype(jnp.bfloat16)
+    hi = tslice.astype(jnp.bfloat16)
+    lo = (tslice - hi.astype(f32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, lo):
+        tmp = jnp.einsum("ys,yx->sx", Er, part, preferred_element_type=f32)
+        r = jnp.einsum("sx,xl->sl", tmp.astype(jnp.bfloat16), Ec,
+                       preferred_element_type=f32)
+        out = r if out is None else out + r
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "SB", "LB", "bf16"))
 def _raycast_sweep(tsdf, weights, rel_rot_oc, rel_trans_oc, intr,
-                   voxel_size, truncdist, H: int, W: int, SB: int, LB: int):
+                   voxel_size, truncdist, H: int, W: int, SB: int, LB: int,
+                   bf16: bool = False):
     Z, Y, X = tsdf.shape
     f32 = jnp.float32
     fx, fy = intr[0, 0], intr[1, 1]
@@ -85,14 +112,8 @@ def _raycast_sweep(tsdf, weights, rel_rot_oc, rel_trans_oc, intr,
 
         Ecol = _linear_matrix(X, p_of_a)        # (X, LB)
         Erow = _linear_matrix(Y, q_of_b)        # (Y, SB)
-        tmp = jnp.einsum("ys,yx->sx", Erow, tslice,
-                         preferred_element_type=f32)       # (SB, X)
-        psi = jnp.einsum("sx,xl->sl", tmp, Ecol,
-                         preferred_element_type=f32)       # (SB, LB)
-        tmpw = jnp.einsum("ys,yx->sx", Erow, wslice,
-                          preferred_element_type=f32)
-        wv = jnp.einsum("sx,xl->sl", tmpw, Ecol,
-                        preferred_element_type=f32)
+        psi = _resample_slice(tslice, Erow, Ecol, bf16)     # (SB, LB)
+        wv = _resample_slice(wslice, Erow, Ecol, bf16)
 
         pg = jnp.broadcast_to(p_of_a[None, :], (SB, LB))
         qg = jnp.broadcast_to(q_of_b[:, None], (SB, LB))
@@ -200,7 +221,7 @@ def _raycast_sweep(tsdf, weights, rel_rot_oc, rel_trans_oc, intr,
 def raycast_sweep(tsdf_vol, weights_vol, rel_rot_co, rel_trans_co, intr,
                   voxel_size, truncdist, height: int, width: int,
                   prev_raylengths: Optional[jnp.ndarray] = None,
-                  oversample: float = 1.25):
+                  oversample: float = 1.25, bf16: bool = False):
     """Sweep raycast; drop-in for :func:`ops.raycast.raycast_volume`
     (gradient volume not needed — normals come from the vertex map).
 
@@ -218,7 +239,7 @@ def raycast_sweep(tsdf_vol, weights_vol, rel_rot_co, rel_trans_co, intr,
                          jnp.asarray(weights_vol, jnp.float32),
                          jnp.asarray(R_oc), jnp.asarray(t_oc),
                          jnp.asarray(intr), jnp.float32(voxel_size),
-                         jnp.float32(truncdist), H, W, SB, LB)
+                         jnp.float32(truncdist), H, W, SB, LB, bf16=bf16)
     if prev_raylengths is not None:
         keep = (prev_raylengths == 0.0) | \
             (out["raylengths"] <= prev_raylengths)

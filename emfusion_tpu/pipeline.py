@@ -187,10 +187,15 @@ class EMFusionPipeline:
         cfg = self.track_cfg
         max_steps = p.raycast_max_steps
 
-        escale = max(p.estep_scale, 1)
+        escale = p.estep_scale
+        if escale == 0:
+            escale = 1 if jax.default_backend() in ("cpu",) else 2
+        escale = max(escale, 1)
 
-        def estep(state: PipelineState, points):
-            """computeAssociationWeights (EMFusion.cpp:635-670).
+        def estep_subset(state: PipelineState, points, slots):
+            """computeAssociationWeights (EMFusion.cpp:635-670), evaluated
+            for the given object slots only (others keep zero weight, like
+            inactive models in the reference's per-object loop).
 
             With estep_scale > 1, weights are computed on a subsampled
             pixel grid and nearest-upsampled back to (H, W)."""
@@ -211,8 +216,16 @@ class EMFusionPipeline:
                 return w
 
             o = state.objs
-            obj_w = jax.vmap(obj_assoc)(o.tsdf, o.fg_counts, o.pose,
-                                        o.voxel_size, o.truncdist)
+
+            def take(arr):
+                return jnp.take(arr, slots, axis=0)
+
+            obj_w_sub = jax.vmap(obj_assoc)(
+                take(o.tsdf), take(o.fg_counts), take(o.pose),
+                take(o.voxel_size), take(o.truncdist))
+            ph, pw = pts.shape[1], pts.shape[2]
+            obj_w = jnp.zeros((K, ph, pw), jnp.float32
+                              ).at[slots].set(obj_w_sub)
             bg_n, obj_n = normalize_associations(bg_w, obj_w, o.active)
             if escale > 1:
                 def up(img):
@@ -222,6 +235,10 @@ class EMFusionPipeline:
                 bg_n, obj_n = up(bg_n), up(obj_n)
             return state.replace(bg_assoc=bg_n,
                                  objs=o.replace(assoc=obj_n))
+
+        def estep(state: PipelineState, points):
+            return estep_subset(state, points,
+                                jnp.arange(K, dtype=jnp.int32))
 
         stride = p.tracking_stride
         if stride == 0:
@@ -289,18 +306,24 @@ class EMFusionPipeline:
         def _rc(tsdf, grads, weights, rel_rot, rel_trans, vs, td):
             if rc_backend == "sweep":
                 return raycast_sweep(tsdf, weights, rel_rot, rel_trans,
-                                     intr, vs, td, H, W)
+                                     intr, vs, td, H, W,
+                                     bf16=p.matmul_bf16)
             return raycast_volume(tsdf, grads, weights, rel_rot, rel_trans,
                                   intr, vs, td, H, W, max_steps=max_steps)
 
-        def raycast_all(state: PipelineState):
+        def raycast_subset(state: PipelineState, slots):
             """EMFusion::raycast (EMFusion.cpp:726-795): parallel raycasts +
-            nearest-surface composite + bg override + visibility."""
+            nearest-surface composite + bg override + visibility, over the
+            given object slots (full-K outputs scattered back)."""
             rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
             bg_rc = _rc(state.bg_tsdf, state.bg_grads, state.bg_weights,
                         rel_bg[:3, :3], rel_bg[:3, 3], bg_voxel, bg_trunc)
 
             o = state.objs
+            n_sub = slots.shape[0]
+
+            def take(arr):
+                return jnp.take(arr, slots, axis=0)
 
             def obj_rc_fn(tsdf, grads, weights, fgc, pose, vs, td):
                 rel = pose_inverse(pose) @ state.cam_pose
@@ -309,26 +332,38 @@ class EMFusionPipeline:
                 return _rc(tsdf, grads, rc_weights, rel[:3, :3],
                            rel[:3, 3], vs, td)
 
-            obj_rc = jax.vmap(obj_rc_fn)(o.tsdf, o.grads, o.weights,
-                                         o.fg_counts, o.pose, o.voxel_size,
-                                         o.truncdist)
+            sub_active = take(o.active)
+            sub_ids = take(o.object_id)
+            if n_sub > 0:
+                obj_rc = jax.vmap(obj_rc_fn)(
+                    take(o.tsdf), take(o.grads), take(o.weights),
+                    take(o.fg_counts), take(o.pose), take(o.voxel_size),
+                    take(o.truncdist))
+                obj_hit = obj_rc["mask"] & sub_active[:, None, None]
+                obj_ray = jnp.where(obj_hit, obj_rc["raylengths"], jnp.inf)
+                best = jnp.argmin(obj_ray, axis=0)                 # (H, W)
+                min_ray = jnp.min(obj_ray, axis=0)
+                any_obj = jnp.isfinite(min_ray)
 
-            obj_hit = obj_rc["mask"] & o.active[:, None, None]
-            obj_ray = jnp.where(obj_hit, obj_rc["raylengths"], jnp.inf)
-            best = jnp.argmin(obj_ray, axis=0)                     # (H, W)
-            min_ray = jnp.min(obj_ray, axis=0)
-            any_obj = jnp.isfinite(min_ray)
+                def take_best(stack):
+                    idx = best[None, None] if stack.ndim == 4 else best[None]
+                    return jnp.take_along_axis(stack, idx, axis=0)[0]
 
-            def take_best(stack):
-                idx = best[None, None] if stack.ndim == 4 else best[None]
-                return jnp.take_along_axis(stack, idx, axis=0)[0]
-
-            comp_ray = jnp.where(any_obj, min_ray, 0.0)
-            comp_verts = jnp.where(any_obj[None],
-                                   take_best(obj_rc["vertices"]), 0.0)
-            comp_norms = jnp.where(any_obj[None],
-                                   take_best(obj_rc["normals"]), 0.0)
-            seg = jnp.where(any_obj, o.object_id[best], 0)
+                comp_ray = jnp.where(any_obj, min_ray, 0.0)
+                comp_verts = jnp.where(any_obj[None],
+                                       take_best(obj_rc["vertices"]), 0.0)
+                comp_norms = jnp.where(any_obj[None],
+                                       take_best(obj_rc["normals"]), 0.0)
+                seg = jnp.where(any_obj, sub_ids[best], 0)
+                obj_masks = jnp.zeros((K, H, W), bool).at[slots].set(
+                    obj_rc["mask"] & sub_active[:, None, None])
+            else:
+                any_obj = jnp.zeros((H, W), bool)
+                comp_ray = jnp.zeros((H, W), jnp.float32)
+                comp_verts = jnp.zeros((3, H, W), jnp.float32)
+                comp_norms = jnp.zeros((3, H, W), jnp.float32)
+                seg = jnp.zeros((H, W), jnp.int32)
+                obj_masks = jnp.zeros((K, H, W), bool)
 
             # bg override where bg is >5cm nearer (EMFusion.cpp:773-776)
             take_bg = bg_rc["mask"] & any_obj & \
@@ -353,16 +388,23 @@ class EMFusionPipeline:
             return state, {
                 "vertices": vertices, "normals": normals, "seg": seg,
                 "raylengths": comp_ray, "bg_raylengths": bg_rc["raylengths"],
-                "obj_masks": obj_rc["mask"] & o.active[:, None, None],
+                "obj_masks": obj_masks,
                 "vis_counts": vis_counts,
             }
+
+        def raycast_all(state: PipelineState):
+            return raycast_subset(state, jnp.arange(K, dtype=jnp.int32))
 
         backend = p.fusion_backend
         if backend == "auto":
             backend = ("pencil" if jax.default_backend() not in ("cpu",)
                        else "gather")
-        fuse_fn = (integrate_tsdf_pencil if backend == "pencil"
-                   else integrate_tsdf)
+        if backend == "pencil":
+            import functools as _ft
+            fuse_fn = _ft.partial(integrate_tsdf_pencil,
+                                  bf16=p.matmul_bf16)
+        else:
+            fuse_fn = integrate_tsdf
 
         def integrate(state: PipelineState, depth):
             """integrateDepth (EMFusion.cpp:865-889): bg + visible objects,
@@ -435,7 +477,9 @@ class EMFusionPipeline:
         # run over the active slot subset only)
         self._track_camera = jax.jit(track_camera)
         self._track_objs_subset = jax.jit(track_objs_subset)
+        self._estep_subset = jax.jit(estep_subset)
         self._raycast_all = jax.jit(raycast_all)
+        self._raycast_subset = jax.jit(raycast_subset)
         # raw (unjitted) versions for custom jit wrapping (sharded runs,
         # __graft_entry__, benchmarks)
         self._frame_track_fn = frame_track
@@ -530,8 +574,10 @@ class EMFusionPipeline:
 
         rc = None
         if self.frame > 0:
+            active = np.asarray(self.state.objs.active)
+            slots = jnp.asarray(np.nonzero(active)[0], jnp.int32)
             with self.timer.phase("estep_pre"):
-                state = self._estep(self.state, points)
+                state = self._estep_subset(self.state, points, slots)
             pre_bg = state.bg_assoc
             pre_obj = state.objs.assoc
             with self.timer.phase("track_camera"):
@@ -540,17 +586,16 @@ class EMFusionPipeline:
                 self.outputs["track_weights"][self.frame] = \
                     np.asarray(track_w)
             with self.timer.phase("estep_mid"):
-                state = self._estep(state, points)   # EMFusion.cpp:687
-            active = np.asarray(state.objs.active)
-            slots = np.nonzero(active)[0]
+                state = self._estep_subset(state, points,
+                                           slots)   # EMFusion.cpp:687
             if len(slots) > 0:
                 with self.timer.phase("track_objects"):
-                    state = self._track_objs_subset(
-                        state, points, jnp.asarray(slots, jnp.int32))
+                    state = self._track_objs_subset(state, points, slots)
             with self.timer.phase("estep_post"):
-                state = self._estep(state, points)   # post-track, :87
+                state = self._estep_subset(state, points,
+                                           slots)   # post-track, :87
             with self.timer.phase("raycast"):
-                state, rc = self._raycast_all(state)
+                state, rc = self._raycast_subset(state, slots)
             self.state = state
             self._last_raycast = rc
             if self.save_output:
