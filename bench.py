@@ -45,12 +45,14 @@ def main():
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_default_matmul_precision", "highest")
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    if jax.default_backend() not in ("cpu",):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/jax_comp"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     from emfusion_tpu.ops.fusion import compute_gradients, integrate_tsdf
     from emfusion_tpu.ops.fusion_pencil import integrate_tsdf_pencil

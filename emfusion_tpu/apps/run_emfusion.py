@@ -36,6 +36,9 @@ def build_parser():
     ap.add_argument("--background", action="store_true",
                     help="run headless (no display)")
     ap.add_argument("--show-slam", action="store_true")
+    ap.add_argument("--frame-meshes", type=int, default=0, metavar="N",
+                    help="export per-frame meshes every N frames "
+                         "(frame_meshes/ tree)")
     ap.add_argument("--frames", type=int, default=None,
                     help="process at most N frames")
     ap.add_argument("--platform", default=None, choices=["tpu", "cpu"],
@@ -60,13 +63,16 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
     # persistent compilation cache: compiles dominate cold starts on the
-    # remote-compile TPU stack (minutes per program)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # remote-compile TPU stack (minutes per program). TPU-only: cached
+    # CPU AOT results are machine-feature-sensitive.
+    if args.platform != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/jax_comp"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
     from emfusion_tpu.distributed.mesh import initialize_multihost
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
             os.environ.get("EMF_MULTIHOST"):
@@ -118,6 +124,12 @@ def main(argv=None):
                                timestamp=frame.timestamp)
             if args.exportdir:
                 pipe.outputs["renderings"][n] = pipe.render()
+                if args.frame_meshes and \
+                        pipe.frame % args.frame_meshes == 0:
+                    from emfusion_tpu.io.writers import write_frame_meshes
+                    write_frame_meshes(
+                        pipe, os.path.join(args.exportdir, "frame_meshes"),
+                        pipe.frame)
             n += 1
             if (args.checkpoint and args.checkpoint_every
                     and pipe.frame % args.checkpoint_every == 0):

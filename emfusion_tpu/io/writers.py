@@ -121,6 +121,43 @@ def read_volume_bin(filename: str):
     return data, res, voxel
 
 
+def write_frame_meshes(pipe, path: str, frame: int) -> None:
+    """Per-frame mesh dumps (reference ``frame_meshes/`` tree, written by
+    the 3D-vis path, ``EMFusion.cpp:1263-1300``). Uses the native async
+    writer when available so meshing/export stays off the frame loop."""
+    from emfusion_tpu.ops.marching_cubes import extract_mesh
+    from emfusion_tpu.volume import fg_probs as _fgp
+    os.makedirs(path, exist_ok=True)
+    try:
+        from emfusion_tpu import native
+        writer = native.AsyncWriter() if native.available() else None
+    except Exception:
+        writer = None
+
+    def emit(name, verts, norms, tris):
+        fp = os.path.join(path, name)
+        if writer is not None:
+            writer.submit_ply(fp, verts, norms, tris)
+        else:
+            write_ply(fp, verts, norms, tris)
+
+    verts, norms, tris = extract_mesh(
+        pipe.state.bg_tsdf, pipe.state.bg_grads, pipe.state.bg_weights > 0,
+        float(pipe.params.globalVoxelSize),
+        max_verts=pipe.params.mc_max_verts)
+    emit(f"mesh_bg_{frame:04d}.ply", verts, norms, tris)
+    o = pipe.state.objs
+    for oid in pipe.active_object_ids:
+        k = pipe._slot_of(oid)
+        mask = (o.weights[k] > 0) & (_fgp(o.fg_counts[k]) > 0.5)
+        v2, n2, t2 = extract_mesh(o.tsdf[k], o.grads[k], mask,
+                                  float(np.asarray(o.voxel_size[k])))
+        emit(f"mesh_{oid}_{frame:04d}.ply", v2, n2, t2)
+    if writer is not None:
+        writer.wait()
+        writer.close()
+
+
 def write_results(pipe, path: str, export_volumes: bool = False) -> None:
     """Write the full export tree (``EMFusion::writeResults``,
     ``EMFusion.cpp:253-292`` + writers :991-1313)."""

@@ -984,13 +984,29 @@ class EMFusionPipeline:
 
     # ------------------------------------------------------------------
     def render(self) -> np.ndarray:
-        """Phong-rendered composited model view (EMFusion::render)."""
+        """Phong-rendered composited model view (EMFusion::render).
+
+        With ``ignore_person`` set, pixels belonging to person-class
+        objects are removed from the composited maps before shading
+        (``EMFusion.cpp:139-150``)."""
         if self._last_raycast is None:
             return np.zeros((self.H, self.W, 3), np.uint8)
         rc = self._last_raycast
-        seg = rc["seg"]
-        img = render_phong(rc["vertices"], rc["normals"],
-                           jnp.asarray(seg) % 256,
+        seg = np.asarray(rc["seg"])
+        verts = rc["vertices"]
+        norms = rc["normals"]
+        if self.params.ignore_person:
+            person_id = seg_mod.CLASS_NAMES.index("person")
+            person_ids = [oid for oid, m in self.meta.items()
+                          if m.class_probs is not None
+                          and int(np.argmax(m.class_probs)) == person_id]
+            if person_ids:
+                drop = np.isin(seg, person_ids)
+                seg = np.where(drop, 0, seg)
+                keep = jnp.asarray(~drop)
+                verts = jnp.where(keep[None], verts, 0.0)
+                norms = jnp.where(keep[None], norms, 0.0)
+        img = render_phong(verts, norms, jnp.asarray(seg) % 256,
                            jnp.asarray(self.colormap))
         return np.asarray(img)
 
