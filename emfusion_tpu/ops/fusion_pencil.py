@@ -128,10 +128,15 @@ def _matmul_gather(E_src, data, E_dst, bf16: bool):
     """
     f32 = jnp.float32
     if not bf16:
+        # Precision.DEFAULT = XLA's bf16-multipass f32 matmul (~2x the
+        # HIGHEST rate on v5e, ~1e-6 relative accuracy) — explicitly
+        # requested because the session default is HIGHEST for the
+        # SE(3)/LM math.
+        prec = jax.lax.Precision.DEFAULT
         tmp = jnp.einsum("sl,sy->yl", data, E_src,
-                         preferred_element_type=f32)
+                         preferred_element_type=f32, precision=prec)
         return jnp.einsum("yl,lx->yx", tmp, E_dst,
-                          preferred_element_type=f32)
+                          preferred_element_type=f32, precision=prec)
     Es = E_src.astype(jnp.bfloat16)
     Ed = E_dst.astype(jnp.bfloat16)
     hi, lo = _split_bf16(data)

@@ -65,10 +65,12 @@ def _resample_slice(tslice, Erow, Ecol, bf16: bool):
     negligible against the truncdist-scale TSDF values)."""
     f32 = jnp.float32
     if not bf16:
+        # see fusion_pencil._matmul_gather: DEFAULT = fast multipass f32
+        prec = jax.lax.Precision.DEFAULT
         tmp = jnp.einsum("ys,yx->sx", Erow, tslice,
-                         preferred_element_type=f32)
+                         preferred_element_type=f32, precision=prec)
         return jnp.einsum("sx,xl->sl", tmp, Ecol,
-                          preferred_element_type=f32)
+                          preferred_element_type=f32, precision=prec)
     Er = Erow.astype(jnp.bfloat16)
     Ec = Ecol.astype(jnp.bfloat16)
     hi = tslice.astype(jnp.bfloat16)
