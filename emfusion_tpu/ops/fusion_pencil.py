@@ -252,7 +252,7 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 
 def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
                           rel_trans_oc, intr, voxel_size, truncdist,
-                          max_weight, oversample: float = 1.5,
+                          max_weight, oversample: float = 1.25,
                           bf16: bool = False
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`."""
