@@ -104,6 +104,9 @@ def load_checkpoint(pipe, path: str) -> None:
                  "voxel_size", "truncdist", "active", "visible", "object_id",
                  "assoc"):
         objs = objs.replace(**{name: jnp.asarray(arrays[f"objs.{name}"])})
+    # gradients may be stale on the sweep path (not maintained per frame)
+    from emfusion_tpu.ops.fusion import compute_gradients
+    state = state.replace(bg_grads=compute_gradients(state.bg_tsdf))
     pipe.state = state.replace(objs=objs)
 
     pipe.frame = int(meta["frame"])

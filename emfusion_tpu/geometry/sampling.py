@@ -96,7 +96,8 @@ def trilinear_sample_channels(vol: jnp.ndarray, vx, vy, vz,
 
 def sample_volume_at_points(vol: jnp.ndarray, points_cam: jnp.ndarray,
                             rel_rot: jnp.ndarray, rel_trans: jnp.ndarray,
-                            voxel_size, margin: int = 1) -> jnp.ndarray:
+                            voxel_size, margin: int = 1,
+                            grid_offset=None) -> jnp.ndarray:
     """Sample a volume at camera-space points after a rigid transform.
 
     TPU equivalent of ``kernel_getVolumeVals`` (``TSDF.cu:662-726``):
@@ -124,6 +125,12 @@ def sample_volume_at_points(vol: jnp.ndarray, points_cam: jnp.ndarray,
     vx = wx / voxel_size + (X - 1.0) / 2.0
     vy = wy / voxel_size + (Y - 1.0) / 2.0
     vz = wz / voxel_size + (Z - 1.0) / 2.0
+    if grid_offset is not None:
+        # integer voxel shift (finite-difference gradient sampling:
+        # trilerp(forward-diff, v) == trilerp(vol, v+e) - trilerp(vol, v))
+        vx = vx + grid_offset[0]
+        vy = vy + grid_offset[1]
+        vz = vz + grid_offset[2]
 
     valid = pz > 0
     valid &= (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0)

@@ -126,6 +126,7 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
     the 3D-vis path, ``EMFusion.cpp:1263-1300``). Uses the native async
     writer when available so meshing/export stays off the frame loop."""
     from emfusion_tpu.ops.marching_cubes import extract_mesh
+    from emfusion_tpu.ops.fusion import compute_gradients
     from emfusion_tpu.volume import fg_probs as _fgp
     os.makedirs(path, exist_ok=True)
     try:
@@ -142,7 +143,8 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
             write_ply(fp, verts, norms, tris)
 
     verts, norms, tris = extract_mesh(
-        pipe.state.bg_tsdf, pipe.state.bg_grads, pipe.state.bg_weights > 0,
+        pipe.state.bg_tsdf, compute_gradients(pipe.state.bg_tsdf),
+        pipe.state.bg_weights > 0,
         float(pipe.params.globalVoxelSize),
         max_verts=pipe.params.mc_max_verts)
     emit(f"mesh_bg_{frame:04d}.ply", verts, norms, tris)
@@ -207,9 +209,10 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
     # meshes (requires ops.marching_cubes)
     try:
         from emfusion_tpu.ops.marching_cubes import extract_mesh
+        from emfusion_tpu.ops.fusion import compute_gradients
         import jax.numpy as jnp
         verts, norms, tris = extract_mesh(
-            pipe.state.bg_tsdf, pipe.state.bg_grads,
+            pipe.state.bg_tsdf, compute_gradients(pipe.state.bg_tsdf),
             pipe.state.bg_weights > 0,
             float(pipe.params.globalVoxelSize),
             max_verts=pipe.params.mc_max_verts)

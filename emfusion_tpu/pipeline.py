@@ -256,7 +256,7 @@ class EMFusionPipeline:
             rel_init = reorthonormalize(
                 pose_inverse(state.bg_pose) @ state.cam_pose)
             rel, stats = track_volume(
-                state.bg_tsdf, state.bg_grads, state.bg_weights, bg_voxel,
+                state.bg_tsdf, state.bg_weights, bg_voxel,
                 pts, asc, rel_init, cfg)
             tw = stats["track_weights"].reshape(
                 (H + stride - 1) // stride, (W + stride - 1) // stride)
@@ -269,10 +269,10 @@ class EMFusionPipeline:
             o = state.objs
             cam_pose = state.cam_pose
 
-            def track_obj(tsdf, grads, weights, vs, pose, assoc, active):
+            def track_obj(tsdf, weights, vs, pose, assoc, active):
                 pts, asc = _track_pts(points, assoc)
                 rel_i = reorthonormalize(pose_inverse(pose) @ cam_pose)
-                rel_o, _ = track_volume(tsdf, grads, weights, vs, pts,
+                rel_o, _ = track_volume(tsdf, weights, vs, pts,
                                         asc, rel_i, cfg, active=active)
                 # ObjTSDF::syncTrack: pose = cam_pose * rel^-1
                 return cam_pose @ pose_inverse(rel_o)
@@ -281,7 +281,7 @@ class EMFusionPipeline:
                 return jnp.take(arr, slots, axis=0)
 
             new_sub = jax.vmap(track_obj)(
-                take(o.tsdf), take(o.grads), take(o.weights),
+                take(o.tsdf), take(o.weights),
                 take(o.voxel_size), take(o.pose), take(o.assoc),
                 take(o.active))
             new_sub = jnp.where(take(o.active)[:, None, None], new_sub,
@@ -414,7 +414,12 @@ class EMFusionPipeline:
                 state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
                 rel_bg_oc[:3, :3], rel_bg_oc[:3, 3], intr, bg_voxel,
                 bg_trunc, tsdfp.maxTSDFWeight)
-            bg_g = compute_gradients(bg_t)
+            # the gradient volume is only consumed by the lock-step march
+            # raycast; tracking samples gradients from TSDF differences
+            # and exports compute gradients on demand. Skipping it on the
+            # sweep path saves a 4x-volume-traffic pass per frame.
+            bg_g = (compute_gradients(bg_t) if rc_backend == "march"
+                    else state.bg_grads)
 
             o = state.objs
 

@@ -71,17 +71,18 @@ def _pose_mat(R, t):
         [top, jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=R.dtype)], axis=0)
 
 
-def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
+def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
                  voxel_size, points: jnp.ndarray, assoc: jnp.ndarray,
                  rel_pose_co: jnp.ndarray, cfg: TrackConfig,
                  active=True):
     """Run the LM loop for one volume.
 
     Args:
-      tsdf/weights: (Z, Y, X); grads: channel-first (3, Z, Y, X)
-        (voxel units).
+      tsdf/weights: (Z, Y, X).
       points: component-first (3, N) camera-space points (invalid ones
-        have z <= 0).
+        have z <= 0). The SDF gradient is sampled as differences of
+        shifted TSDF trilerps (exactly trilerp(forward-diff-volume) away
+        from the outer boundary band) — no gradient volume needed.
       assoc: (N,) association weights for this model.
       rel_pose_co: (4, 4) initial camera-to-object transform (caller should
         have re-orthonormalized it, see ``geometry.se3.reorthonormalize``).
@@ -96,9 +97,16 @@ def track_volume(tsdf: jnp.ndarray, grads: jnp.ndarray, weights: jnp.ndarray,
         """Jacobian rows, residuals and combined weights at a pose."""
         psi = _sample_tsdf(tsdf, points, R, t, voxel_size)
         # J translation part: trilinear grad / voxel size, margin 2
-        # (``kernel_computePoseGradients``, TSDF.cu:603-660)
-        g3 = sample_volume_at_points(grads, points, R, t, voxel_size,
-                                     margin=2) / voxel_size   # (3, N)
+        # (``kernel_computePoseGradients``, TSDF.cu:603-660).
+        # trilerp(forward-diff volume, v) == trilerp(t, v+e) - trilerp(t, v)
+        base = sample_volume_at_points(tsdf, points, R, t, voxel_size,
+                                       margin=2)
+        def shifted(e):
+            return sample_volume_at_points(tsdf, points, R, t, voxel_size,
+                                           margin=2, grid_offset=e)
+        g3 = jnp.stack([shifted((1, 0, 0)) - base,
+                        shifted((0, 1, 0)) - base,
+                        shifted((0, 0, 1)) - base], axis=0) / voxel_size
         p = R @ points + t[:, None]                            # (3, N)
         grad_r = jnp.cross(p, g3, axis=0)
         J = jnp.concatenate([g3, grad_r], axis=0)              # (6, N)

@@ -72,7 +72,7 @@ depth1 = render_depth(cam1)
 pts1 = backproject_depth(preprocess_depth(jnp.asarray(depth1)), intr).reshape(3,-1)
 
 rel_init = reorthonormalize(jnp.asarray(np.linalg.inv(vol_pose) @ cam0))
-pose_est, stats = track_volume(tsdf, grads, wts, voxel, pts1, jnp.ones(pts1.shape[1]), rel_init, TrackConfig(max_iter=60))
+pose_est, stats = track_volume(tsdf, wts, voxel, pts1, jnp.ones(pts1.shape[1]), rel_init, TrackConfig(max_iter=60))
 cam1_est = vol_pose @ np.asarray(pose_est)
 err_t = np.linalg.norm(cam1_est[:3,3]-cam1[:3,3]); err_R = np.linalg.norm(cam1_est[:3,:3]-cam1[:3,:3])
 print("tracking: iters =", int(stats['iterations']), "converged =", bool(stats['converged']))
@@ -91,7 +91,7 @@ for k in range(1, 6):
     depth_k = preprocess_depth(jnp.asarray(render_depth(cam_gt)))
     pts = backproject_depth(depth_k, intr).reshape(3,-1)
     rel_init = reorthonormalize(jnp.asarray(np.linalg.inv(vol_pose) @ cam_est))
-    pose_rel, st = track_volume(tsdf2, grads2, wts2, voxel, pts, jnp.ones(pts.shape[1]), rel_init, TrackConfig(max_iter=60))
+    pose_rel, st = track_volume(tsdf2, wts2, voxel, pts, jnp.ones(pts.shape[1]), rel_init, TrackConfig(max_iter=60))
     cam_est = vol_pose @ np.asarray(pose_rel)
     rel_oc = np.linalg.inv(cam_est) @ vol_pose
     tsdf2, wts2 = integrate_tsdf(tsdf2, wts2, depth_k, jnp.ones((H,W)), jnp.asarray(rel_oc[:3,:3].astype(np.float32)), jnp.asarray(rel_oc[:3,3].astype(np.float32)), intr, voxel, trunc, 64.0)

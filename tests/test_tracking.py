@@ -39,7 +39,7 @@ def test_lm_converges_to_ground_truth():
 
     cfg = TrackConfig(max_iter=50)
     pose, stats = track_volume(
-        jnp.asarray(tsdf), grads, jnp.asarray(weights), voxel,
+        jnp.asarray(tsdf), jnp.asarray(weights), voxel,
         jnp.asarray(pts.T), jnp.ones(len(pts)), jnp.asarray(init), cfg)
     pose = np.asarray(pose)
     # A sphere only pins down its center: compare the sphere-center position
@@ -89,7 +89,7 @@ def test_lm_plane_full_pose():
 
     cfg = TrackConfig(max_iter=80)
     pose, stats = track_volume(
-        jnp.asarray(tsdf), grads, jnp.asarray(weights), voxel,
+        jnp.asarray(tsdf), jnp.asarray(weights), voxel,
         jnp.asarray(pts_cam.T), jnp.ones(len(pts_cam)), jnp.asarray(init),
         cfg)
     pose = np.asarray(pose)
@@ -105,7 +105,7 @@ def test_lm_inactive_returns_init():
     init[2, 3] = -1.0
     pts = np.array([[0.0, 0.0, 0.6]], np.float32)
     pose, stats = track_volume(
-        jnp.asarray(tsdf), grads, jnp.asarray(weights), voxel,
+        jnp.asarray(tsdf), jnp.asarray(weights), voxel,
         jnp.asarray(pts.T), jnp.ones(1), jnp.asarray(init),
         TrackConfig(max_iter=10), active=False)
     np.testing.assert_allclose(np.asarray(pose), init, atol=1e-6)
@@ -133,10 +133,10 @@ def test_lm_vmap_over_objects():
 
     cfg = TrackConfig(max_iter=30)
     fn = jax.vmap(
-        lambda t, g, w, vs, ini, act: track_volume(
-            t, g, w, vs, jnp.asarray(pts.T), jnp.ones(len(pts)), ini, cfg,
+        lambda t, w, vs, ini, act: track_volume(
+            t, w, vs, jnp.asarray(pts.T), jnp.ones(len(pts)), ini, cfg,
             active=act))
-    poses, stats = fn(tsdfs, gradss, weightss, vsizes, inits, actives)
+    poses, stats = fn(tsdfs, weightss, vsizes, inits, actives)
     poses = np.asarray(poses)
     # lane 0 tracked toward gt; lane 1 untouched
     assert np.linalg.norm(poses[0][:3, 3] - gt[:3, 3]) < \
