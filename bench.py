@@ -1,9 +1,10 @@
 """Benchmark: fused frames/s/chip on the reference operating point.
 
-Measures the TSDF fusion + gradient-update step (the per-frame volume
-kernels, ``kernel_updateTSDF`` + ``kernel_computeTSDFGrads`` equivalents)
-at the reference configuration: 512^3 background volume, 640x480 depth,
-using the production fusion backend (MXU pencil-warp path on TPU).
+Measures the production per-frame volume-update step (the
+``kernel_updateTSDF`` equivalent; the reference's separate gradient
+volume no longer exists in this design — tracking samples gradients as
+shifted-TSDF trilerp differences) at the reference configuration: 512^3
+background volume, 640x480 depth, MXU pencil-warp backend on TPU.
 
 Prints ONE JSON line on stdout:
   {"metric": "fused_frames_per_s_per_chip", "value": ..., "unit": "fps",
@@ -103,8 +104,7 @@ def main():
     def fuse_step(tsdf, weights):
         t2, w2 = fuse(tsdf, weights, depth_j, assoc, rel_rot,
                       rel_trans, intr, voxel, trunc, 64.0)
-        g2 = compute_gradients(t2)
-        return t2, w2, g2
+        return t2, w2
 
     t0 = time.perf_counter()
     out = fuse_step(tsdf, weights)
@@ -114,8 +114,7 @@ def main():
     dt = timeit(lambda t, w: fuse_step(t, w)[:2], tsdf, weights, iters=10)
     fps = 1.0 / dt
     # bytes per fused frame: fusion reads+writes tsdf & weights (4 passes)
-    # + gradient pass reads tsdf and writes 3-channel grads
-    nbytes = (R ** 3) * 4 * (4 + 1 + 3)
+    nbytes = (R ** 3) * 4 * 4
     roofline_fps = bw * 1e9 / nbytes
     log(f"fused step {R}^3: {dt * 1e3:.2f} ms -> {fps:.2f} fps "
         f"(roofline {roofline_fps:.1f} fps, "
