@@ -406,9 +406,9 @@ class EMFusionPipeline:
         else:
             fuse_fn = integrate_tsdf
 
-        def integrate(state: PipelineState, depth):
-            """integrateDepth (EMFusion.cpp:865-889): bg + visible objects,
-            then gradient update."""
+        def integrate_subset(state: PipelineState, depth, slots):
+            """integrateDepth (EMFusion.cpp:865-889): bg + the given
+            object slots (visible ones actually update)."""
             rel_bg_oc = pose_inverse(state.cam_pose) @ state.bg_pose
             bg_t, bg_w = fuse_fn(
                 state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
@@ -422,6 +422,13 @@ class EMFusionPipeline:
                     else state.bg_grads)
 
             o = state.objs
+            state = state.replace(bg_tsdf=bg_t, bg_weights=bg_w,
+                                  bg_grads=bg_g)
+            if slots.shape[0] == 0:
+                return state
+
+            def take(arr):
+                return jnp.take(arr, slots, axis=0)
 
             def obj_int(tsdf, weights, grads, pose, vs, td, assoc, upd):
                 rel_oc = pose_inverse(state.cam_pose) @ pose
@@ -434,13 +441,18 @@ class EMFusionPipeline:
                 g2 = jnp.where(upd, g2, grads)
                 return t2, w2, g2
 
-            upd = o.active & o.visible
+            upd = take(o.active) & take(o.visible)
             t2, w2, g2 = jax.vmap(obj_int)(
-                o.tsdf, o.weights, o.grads, o.pose, o.voxel_size,
-                o.truncdist, o.assoc, upd)
-            return state.replace(
-                bg_tsdf=bg_t, bg_weights=bg_w, bg_grads=bg_g,
-                objs=o.replace(tsdf=t2, weights=w2, grads=g2))
+                take(o.tsdf), take(o.weights), take(o.grads), take(o.pose),
+                take(o.voxel_size), take(o.truncdist), take(o.assoc), upd)
+            return state.replace(objs=o.replace(
+                tsdf=o.tsdf.at[slots].set(t2),
+                weights=o.weights.at[slots].set(w2),
+                grads=o.grads.at[slots].set(g2)))
+
+        def integrate(state: PipelineState, depth):
+            return integrate_subset(state, depth,
+                                    jnp.arange(K, dtype=jnp.int32))
 
         def integrate_masks(state: PipelineState, masks, occls, do_mask):
             """integrateMasks (EMFusion.cpp:891-906) batched over slots."""
@@ -477,6 +489,7 @@ class EMFusionPipeline:
         self._estep = jax.jit(estep)
         self._frame_track = jax.jit(frame_track)
         self._integrate = jax.jit(integrate)
+        self._integrate_subset = jax.jit(integrate_subset)
         self._integrate_masks = jax.jit(integrate_masks)
         # split frame-step pieces (process_frame path: lets the object LM
         # run over the active slot subset only)
@@ -626,7 +639,9 @@ class EMFusionPipeline:
                                                          matches)
 
         with self.timer.phase("integrate"):
-            self.state = self._integrate(self.state, depth)
+            act = np.asarray(self.state.objs.active)
+            islots = jnp.asarray(np.nonzero(act)[0], jnp.int32)
+            self.state = self._integrate_subset(self.state, depth, islots)
 
         if num_instances > 0:
             with self.timer.phase("integrate_masks"):
