@@ -131,11 +131,12 @@ def _matmul_gather(E_src, data, E_dst, bf16: bool):
         # Precision.DEFAULT = XLA's bf16-multipass f32 matmul (~2x the
         # HIGHEST rate on v5e, ~1e-6 relative accuracy) — explicitly
         # requested because the session default is HIGHEST for the
-        # SE(3)/LM math.
+        # SE(3)/LM math. Contraction order L-then-S minimizes MACs
+        # (S·L·X + S·X·Y < L·S·Y + Y·L·X when X <= L).
         prec = jax.lax.Precision.DEFAULT
-        tmp = jnp.einsum("sl,sy->yl", data, E_src,
+        tmp = jnp.einsum("sl,lx->sx", data, E_dst,
                          preferred_element_type=f32, precision=prec)
-        return jnp.einsum("yl,lx->yx", tmp, E_dst,
+        return jnp.einsum("sx,sy->yx", tmp, E_src,
                           preferred_element_type=f32, precision=prec)
     Es = E_src.astype(jnp.bfloat16)
     Ed = E_dst.astype(jnp.bfloat16)
