@@ -76,11 +76,17 @@ def _pencil_setup(rel_rot, rel_trans, intr, voxel_size, Z, Y, X):
     return Bmat, Binv, abg, capx, capy, camc
 
 
-def _window_from_quad(Binv, H, W, margin=2.0):
+def _window_from_quad(Binv, H, W, margin=2.0, abg=None, X=None, Y=None):
     """Reference-plane bounding box of the image quad B^{-1}([0,W]x[0,H]).
 
     Degenerate corners (near the plane at infinity) are clamped to a
     finite multiple of the image extent around the image-center warp.
+
+    When ``abg`` (the per-slice (alpha, beta, gamma) rows) and the slice
+    dims (X, Y) are given, the window is additionally intersected with
+    the VOLUME's reference-plane extent — for small object volumes this
+    shrinks the grid (and the per-slice matmuls) by the ratio of the
+    object's footprint to the full image.
     """
     corners = jnp.asarray([[0.0, 0.0, 1.0], [W - 1.0, 0.0, 1.0],
                            [0.0, H - 1.0, 1.0], [W - 1.0, H - 1.0, 1.0]],
@@ -96,11 +102,34 @@ def _window_from_quad(Binv, H, W, margin=2.0):
     ca, cb = cc[0] / ccw, cc[1] / ccw
     ext_a = jnp.clip(jnp.max(jnp.abs(a - ca)), 1.0, 4.0 * W)
     ext_b = jnp.clip(jnp.max(jnp.abs(b - cb)), 1.0, 4.0 * H)
-    a0 = ca - ext_a - margin
-    b0 = cb - ext_b - margin
-    da = 2.0 * (ext_a + margin)
-    db = 2.0 * (ext_b + margin)
-    return a0, b0, da, db
+    a_lo = ca - ext_a - margin
+    b_lo = cb - ext_b - margin
+    a_hi = ca + ext_a + margin
+    b_hi = cb + ext_b + margin
+
+    if abg is not None:
+        # per-slice volume extent in B coords: a in [alpha, X-1+alpha]/gamma
+        alpha, beta, gamma = abg[:, 0], abg[:, 1], abg[:, 2]
+        ok = gamma > 1e-6
+        ga = jnp.where(ok, gamma, 1.0)
+        a1 = alpha / ga
+        a2 = (X - 1.0 + alpha) / ga
+        b1 = beta / ga
+        b2 = (Y - 1.0 + beta) / ga
+        big = jnp.float32(1e30)
+        va_lo = jnp.min(jnp.where(ok, jnp.minimum(a1, a2), big)) - margin
+        va_hi = jnp.max(jnp.where(ok, jnp.maximum(a1, a2), -big)) + margin
+        vb_lo = jnp.min(jnp.where(ok, jnp.minimum(b1, b2), big)) - margin
+        vb_hi = jnp.max(jnp.where(ok, jnp.maximum(b1, b2), -big)) + margin
+        a_lo = jnp.maximum(a_lo, va_lo)
+        a_hi = jnp.minimum(a_hi, va_hi)
+        b_lo = jnp.maximum(b_lo, vb_lo)
+        b_hi = jnp.minimum(b_hi, vb_hi)
+        # guard empty intersections (volume fully behind/outside)
+        a_hi = jnp.maximum(a_hi, a_lo + 1.0)
+        b_hi = jnp.maximum(b_hi, b_lo + 1.0)
+
+    return a_lo, b_lo, a_hi - a_lo, b_hi - b_lo
 
 
 def _nearest_matrix(src_size: int, out_coords: jnp.ndarray) -> jnp.ndarray:
@@ -163,7 +192,7 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 
     Bmat, Binv, abg, capx, capy, camc = _pencil_setup(
         rel_rot, rel_trans, intr, voxel_size, Z, Y, X)
-    a0, b0, da, db = _window_from_quad(Binv, H, W)
+    a0, b0, da, db = _window_from_quad(Binv, H, W, abg=abg, X=X, Y=Y)
 
     # ---- stage 1: warp depth/assoc to the reference-plane grid --------
     jj = (jnp.arange(LB, dtype=f32) + 0.5) / LB * da + a0
@@ -254,14 +283,23 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
                           rel_trans_oc, intr, voxel_size, truncdist,
                           max_weight, oversample: float = 1.25,
-                          bf16: bool = False
+                          bf16: bool = False, grid=None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`."""
+    """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`.
+
+    ``grid``: optional static (SB, LB) reference-grid size. The window is
+    clipped to the volume's projected extent, so a small volume (object)
+    can use a much smaller grid than the image without losing sampling
+    density — cutting the per-slice matmuls proportionally.
+    """
     tsdf = jnp.asarray(tsdf, jnp.float32)
     depth = jnp.asarray(depth, jnp.float32)
     H, W = depth.shape
-    SB = int(-(-int(H * oversample) // 8) * 8)
-    LB = int(-(-int(W * oversample) // 128) * 128)
+    if grid is not None:
+        SB, LB = grid
+    else:
+        SB = int(-(-int(H * oversample) // 8) * 8)
+        LB = int(-(-int(W * oversample) // 128) * 128)
     return _integrate_pencil(
         tsdf, jnp.asarray(weights, jnp.float32), depth,
         jnp.asarray(assoc_weights, jnp.float32),

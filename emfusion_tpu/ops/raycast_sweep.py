@@ -96,7 +96,7 @@ def _raycast_sweep(tsdf, weights, rel_rot_oc, rel_trans_oc, intr,
 
     Bmat, Binv, abg, capx, capy, camc = _pencil_setup(
         rel_rot_oc, rel_trans_oc, intr, voxel_size, Z, Y, X)
-    a0, b0, da, db = _window_from_quad(Binv, H, W)
+    a0, b0, da, db = _window_from_quad(Binv, H, W, abg=abg, X=X, Y=Y)
 
     a_vec = (jnp.arange(LB, dtype=f32) + 0.5) / LB * da + a0   # (LB,)
     b_vec = (jnp.arange(SB, dtype=f32) + 0.5) / SB * db + b0   # (SB,)
@@ -223,7 +223,8 @@ def _raycast_sweep(tsdf, weights, rel_rot_oc, rel_trans_oc, intr,
 def raycast_sweep(tsdf_vol, weights_vol, rel_rot_co, rel_trans_co, intr,
                   voxel_size, truncdist, height: int, width: int,
                   prev_raylengths: Optional[jnp.ndarray] = None,
-                  oversample: float = 1.25, bf16: bool = False):
+                  oversample: float = 1.25, bf16: bool = False,
+                  grid=None):
     """Sweep raycast; drop-in for :func:`ops.raycast.raycast_volume`
     (gradient volume not needed — normals come from the vertex map).
 
@@ -235,8 +236,11 @@ def raycast_sweep(tsdf_vol, weights_vol, rel_rot_co, rel_trans_co, intr,
     R_oc = rel_rot_co.T
     t_oc = -R_oc @ rel_trans_co
     H, W = height, width
-    SB = int(-(-int(H * oversample) // 8) * 8)
-    LB = int(-(-int(W * oversample) // 128) * 128)
+    if grid is not None:
+        SB, LB = grid
+    else:
+        SB = int(-(-int(H * oversample) // 8) * 8)
+        LB = int(-(-int(W * oversample) // 128) * 128)
     out = _raycast_sweep(jnp.asarray(tsdf_vol, jnp.float32),
                          jnp.asarray(weights_vol, jnp.float32),
                          jnp.asarray(R_oc), jnp.asarray(t_oc),

@@ -303,11 +303,13 @@ class EMFusionPipeline:
             rc_backend = ("sweep" if jax.default_backend() not in ("cpu",)
                           else "march")
 
-        def _rc(tsdf, grads, weights, rel_rot, rel_trans, vs, td):
+        def _rc(tsdf, grads, weights, rel_rot, rel_trans, vs, td,
+                small=False):
             if rc_backend == "sweep":
                 return raycast_sweep(tsdf, weights, rel_rot, rel_trans,
                                      intr, vs, td, H, W,
-                                     bf16=p.matmul_bf16)
+                                     bf16=p.matmul_bf16,
+                                     grid=(256, 256) if small else None)
             return raycast_volume(tsdf, grads, weights, rel_rot, rel_trans,
                                   intr, vs, td, H, W, max_steps=max_steps)
 
@@ -330,7 +332,7 @@ class EMFusionPipeline:
                 fgvol = compute_fg_probs(fgc)
                 rc_weights = jnp.where(fgvol > 0.5, weights, 0.0)
                 return _rc(tsdf, grads, rc_weights, rel[:3, :3],
-                           rel[:3, 3], vs, td)
+                           rel[:3, 3], vs, td, small=True)
 
             sub_active = take(o.active)
             sub_ids = take(o.object_id)
@@ -403,8 +405,13 @@ class EMFusionPipeline:
             import functools as _ft
             fuse_fn = _ft.partial(integrate_tsdf_pencil,
                                   bf16=p.matmul_bf16)
+            # object volumes: small static reference grid (their windows
+            # are clipped to the object footprint)
+            obj_fuse_fn = _ft.partial(integrate_tsdf_pencil,
+                                      bf16=p.matmul_bf16, grid=(256, 256))
         else:
             fuse_fn = integrate_tsdf
+            obj_fuse_fn = integrate_tsdf
 
         def integrate_subset(state: PipelineState, depth, slots):
             """integrateDepth (EMFusion.cpp:865-889): bg + the given
@@ -432,9 +439,9 @@ class EMFusionPipeline:
 
             def obj_int(tsdf, weights, grads, pose, vs, td, assoc, upd):
                 rel_oc = pose_inverse(state.cam_pose) @ pose
-                t2, w2 = fuse_fn(tsdf, weights, depth, assoc,
-                                 rel_oc[:3, :3], rel_oc[:3, 3], intr,
-                                 vs, td, tsdfp.maxTSDFWeight)
+                t2, w2 = obj_fuse_fn(tsdf, weights, depth, assoc,
+                                     rel_oc[:3, :3], rel_oc[:3, 3], intr,
+                                     vs, td, tsdfp.maxTSDFWeight)
                 g2 = compute_gradients(t2)
                 t2 = jnp.where(upd, t2, tsdf)
                 w2 = jnp.where(upd, w2, weights)
