@@ -195,23 +195,30 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
     a0, b0, da, db = _window_from_quad(Binv, H, W, abg=abg, X=X, Y=Y)
 
     # ---- stage 1: warp depth/assoc to the reference-plane grid --------
-    jj = (jnp.arange(LB, dtype=f32) + 0.5) / LB * da + a0
-    ii = (jnp.arange(SB, dtype=f32) + 0.5) / SB * db + b0
-    ag = jnp.broadcast_to(jj[None, :], (SB, LB))
-    bg = jnp.broadcast_to(ii[:, None], (SB, LB))
-    hom_u = Bmat[0, 0] * ag + Bmat[0, 1] * bg + Bmat[0, 2]
-    hom_w = Bmat[1, 0] * ag + Bmat[1, 1] * bg + Bmat[1, 2]
-    hom_z = Bmat[2, 0] * ag + Bmat[2, 1] * bg + Bmat[2, 2]
-    zsafe = jnp.where(jnp.abs(hom_z) < 1e-12, 1e-12, hom_z)
-    ug = hom_u / zsafe
-    wg = hom_w / zsafe
-    pu = jnp.clip(jnp.floor(ug + 0.5), 0, W - 1).astype(jnp.int32)
-    pw = jnp.clip(jnp.floor(wg + 0.5), 0, H - 1).astype(jnp.int32)
-    inb = (ug > -0.5) & (ug < W - 0.5) & (wg > -0.5) & (wg < H - 0.5) \
-        & (hom_z > 0)
-    flat = pw * W + pu
-    D_B = jnp.where(inb, jnp.take(depth.reshape(-1), flat), 0.0)
-    A_B = jnp.where(inb, jnp.take(assoc.reshape(-1), flat), 0.0)
+    def warp_to_grid(img, nS, nL):
+        jj = (jnp.arange(nL, dtype=f32) + 0.5) / nL * da + a0
+        ii = (jnp.arange(nS, dtype=f32) + 0.5) / nS * db + b0
+        ag = jnp.broadcast_to(jj[None, :], (nS, nL))
+        bg = jnp.broadcast_to(ii[:, None], (nS, nL))
+        hom_u = Bmat[0, 0] * ag + Bmat[0, 1] * bg + Bmat[0, 2]
+        hom_w = Bmat[1, 0] * ag + Bmat[1, 1] * bg + Bmat[1, 2]
+        hom_z = Bmat[2, 0] * ag + Bmat[2, 1] * bg + Bmat[2, 2]
+        zsafe = jnp.where(jnp.abs(hom_z) < 1e-12, 1e-12, hom_z)
+        ug = hom_u / zsafe
+        wg = hom_w / zsafe
+        pu = jnp.clip(jnp.floor(ug + 0.5), 0, W - 1).astype(jnp.int32)
+        pw = jnp.clip(jnp.floor(wg + 0.5), 0, H - 1).astype(jnp.int32)
+        inb = (ug > -0.5) & (ug < W - 0.5) & (wg > -0.5) \
+            & (wg < H - 0.5) & (hom_z > 0)
+        flat = pw * W + pu
+        return jnp.where(inb, jnp.take(img.reshape(-1), flat), 0.0)
+
+    D_B = warp_to_grid(depth, SB, LB)
+    # association weights are piecewise smooth; a half-resolution grid
+    # quarters their per-slice matmul cost
+    SA = max(8, (SB // 2 + 7) // 8 * 8)
+    LA = max(128, (LB // 2 + 127) // 128 * 128)
+    A_B = warp_to_grid(assoc, SA, LA)
 
     # ---- stage 2: scan over slices ------------------------------------
     pq_p = jnp.arange(X, dtype=f32)
@@ -232,7 +239,11 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
         Ecol = _nearest_matrix(LB, ja)                          # (LB, X)
         Erow = _nearest_matrix(SB, ib)                          # (SB, Y)
         depth_val = _matmul_gather(Erow, D_B, Ecol, bf16)
-        assoc_val = _matmul_gather(Erow, A_B, Ecol, bf16)
+        ra = SA / SB
+        rl = LA / LB
+        Ecol_a = _nearest_matrix(LA, (ja + 0.5) * rl - 0.5)
+        Erow_a = _nearest_matrix(SA, (ib + 0.5) * ra - 0.5)
+        assoc_val = _matmul_gather(Erow_a, A_B, Ecol_a, bf16)
 
         # exact per-voxel projection for masks / sdf
         camx = capx[0] * pv + capy[0] * qv + cc[0]
