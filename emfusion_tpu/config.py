@@ -124,6 +124,10 @@ class Params:
     # (exact for fusion's 0/1 matrices, ~1e-3 relative on the sweep's
     # bilinear blends; uses the MXU's higher bf16 rate).
     matmul_bf16: bool = False
+    # Bilateral filter backend: "auto" uses the VMEM-resident Pallas
+    # stencil kernel on TPU (zero-pad borders), "xla" the 49-tap fused
+    # XLA graph (reflect-101 borders, exact reference semantics).
+    bilateral_backend: str = "auto"
 
     @property
     def intr(self) -> np.ndarray:
@@ -189,8 +193,8 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
             raise ValueError("volumePose expects 3 floats (translation)")
     elif key == "fusion_backend":
         params.fusion_backend = v.strip()
-    elif key == "raycast_backend":
-        params.raycast_backend = v.strip()
+    elif key in ("raycast_backend", "bilateral_backend"):
+        setattr(params, key, v.strip())
     elif key in ("ignore_person", "matmul_bf16"):
         setattr(params, key,
                 v.strip().lower() in ("yes", "true", "1", "on"))

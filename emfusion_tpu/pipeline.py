@@ -477,10 +477,22 @@ class EMFusionPipeline:
                                  do_mask & o.active)
             return state.replace(objs=o.replace(fg_counts=fgc2))
 
+        use_pallas_bilateral = (jax.default_backend() not in ("cpu",)
+                                and p.bilateral_backend != "xla")
+
         def preprocess(depth_raw):
-            depth = preprocess_depth(depth_raw, p.bilateral_kernel_size,
-                                     p.bilateral_sigma_depth,
-                                     p.bilateral_sigma_spatial)
+            if use_pallas_bilateral:
+                from emfusion_tpu.ops.pallas.bilateral_pallas import \
+                    bilateral_filter_pallas
+                depth = bilateral_filter_pallas(
+                    depth_raw, p.bilateral_kernel_size,
+                    p.bilateral_sigma_depth, p.bilateral_sigma_spatial)
+                depth = jnp.where(jnp.isnan(depth), 0.0, depth)
+                depth = jnp.where(depth_raw == 0.0, 0.0, depth)
+            else:
+                depth = preprocess_depth(depth_raw, p.bilateral_kernel_size,
+                                         p.bilateral_sigma_depth,
+                                         p.bilateral_sigma_spatial)
             points = backproject_depth(depth, intr)
             return depth, points
 
