@@ -116,12 +116,15 @@ def main(argv=None):
 
     t_start = time.time()
     n = 0
+    frame_times = []
     try:
         for frame in reader.frames():
             if frame.index < skip_until:
                 continue
+            t_f = time.time()
             pipe.process_frame(frame.rgb, frame.depth,
                                timestamp=frame.timestamp)
+            frame_times.append(time.time() - t_f)
             if args.exportdir:
                 pipe.outputs["renderings"][n] = pipe.render()
                 if args.frame_meshes and \
@@ -150,6 +153,13 @@ def main(argv=None):
     elapsed = time.time() - t_start
     print(f"processed {n} frames in {elapsed:.1f}s "
           f"({n / max(elapsed, 1e-9):.2f} fps)")
+    if len(frame_times) >= 6:
+        import statistics
+        tail = frame_times[len(frame_times) // 2:]
+        steady = statistics.median(tail)
+        print(f"steady-state: {steady * 1e3:.0f} ms/frame "
+              f"({1.0 / max(steady, 1e-9):.2f} fps, median of last "
+              f"{len(tail)} frames)")
     print(pipe.timer.summary(), file=sys.stderr)
 
     if args.exportdir:
