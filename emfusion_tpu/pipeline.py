@@ -30,6 +30,7 @@ masks -> cleanup.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -95,6 +96,9 @@ class ObjectMeta:
     @property
     def ex_prob(self) -> float:
         return self.ex_count / max(self.ex_count + self.nonex_count, 1)
+
+
+logger = logging.getLogger("emfusion")
 
 
 def _translate(t: np.ndarray) -> np.ndarray:
@@ -859,6 +863,10 @@ class EMFusionPipeline:
         self.state = self.state.replace(objs=o)
         self.meta[new_id] = ObjectMeta(ex_count=1, nonex_count=0)
         self.obj_poses.setdefault(new_id, {})[self.frame] = pose
+        # reference: "Created new object" (EMFusion.cpp:555)
+        logger.info("frame %d: created object %d (slot %d, voxel %.4f m, "
+                    "center %s)", self.frame, new_id, slot, voxel,
+                    np.round(center, 3).tolist())
         return new_id
 
     def _volume_iou(self, slot, voxel, p10, p90) -> float:
@@ -990,7 +998,13 @@ class EMFusionPipeline:
             for k in range(self.K):
                 if active[k] and \
                         self.meta[int(ids[k])].ex_prob < p.existenceThresh:
-                    spurious.add(int(ids[k]))
+                    oid = int(ids[k])
+                    spurious.add(oid)
+                    # reference deletion logs (EMFusion.cpp:929-934)
+                    logger.info(
+                        "frame %d: object %d existence prob %.3f < %.3f "
+                        "-> delete", self.frame, oid,
+                        self.meta[oid].ex_prob, p.existenceThresh)
 
         for k in range(self.K):
             if not (active[k] and visible[k]):
@@ -1002,6 +1016,9 @@ class EMFusionPipeline:
             cnt = np.count_nonzero(m)
             if p.assocThresh * cnt > float(assoc[k][m].sum()):
                 spurious.add(oid)
+                # "tracking likely failed" (EMFusion.cpp:936-949)
+                logger.info("frame %d: object %d association below "
+                            "threshold -> delete", self.frame, oid)
 
         delete_slots = []
         for k in range(self.K):
@@ -1009,6 +1026,9 @@ class EMFusionPipeline:
                 continue
             oid = int(ids[k])
             if oid in spurious or not visible[k]:
+                if oid not in spurious:
+                    logger.info("frame %d: object %d not visible -> "
+                                "delete", self.frame, oid)   # :951-960
                 delete_slots.append(k)
 
         if delete_slots:
