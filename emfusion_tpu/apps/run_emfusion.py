@@ -18,6 +18,7 @@ plus TPU-native additions: --frames (limit), --platform (tpu|cpu),
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import sys
 import time
@@ -53,6 +54,8 @@ def build_parser():
 
 
 def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(name)s: %(message)s")
     args = build_parser().parse_args(argv)
     if not args.tumdir and not args.dir_:
         print("error: need --tumdir or --dir", file=sys.stderr)
