@@ -94,6 +94,92 @@ def trilinear_sample_channels(vol: jnp.ndarray, vx, vy, vz,
     return out
 
 
+def _transform_to_grid(points_cam, rel_rot, rel_trans, voxel_size, shape):
+    """Rigid transform + world->grid for component-first points."""
+    Z, Y, X = shape
+    px, py, pz = points_cam[0], points_cam[1], points_cam[2]
+    wx = rel_rot[0, 0] * px + rel_rot[0, 1] * py + rel_rot[0, 2] * pz \
+        + rel_trans[0]
+    wy = rel_rot[1, 0] * px + rel_rot[1, 1] * py + rel_rot[1, 2] * pz \
+        + rel_trans[1]
+    wz = rel_rot[2, 0] * px + rel_rot[2, 1] * py + rel_rot[2, 2] * pz \
+        + rel_trans[2]
+    vx = wx / voxel_size + (X - 1.0) / 2.0
+    vy = wy / voxel_size + (Y - 1.0) / 2.0
+    vz = wz / voxel_size + (Z - 1.0) / 2.0
+    return vx, vy, vz, pz
+
+
+def sample_system_at_points(vol: jnp.ndarray, points_cam: jnp.ndarray,
+                            rel_rot: jnp.ndarray, rel_trans: jnp.ndarray,
+                            voxel_size):
+    """Fused residual + finite-difference-gradient sampling for tracking.
+
+    Equivalent to five :func:`sample_volume_at_points` calls — the
+    margin-1 value (``kernel_getVolumeVals``, ``TSDF.cu:662-726``) plus
+    the margin-2 base and three axis-shifted trilerps whose differences
+    give the SDF gradient (``kernel_computePoseGradients``,
+    ``TSDF.cu:603-660``) — but gathers the shared 3x3x3 corner
+    neighborhood ONCE (27 elements/point instead of 40). On TPU, XLA
+    gathers run as a scalar loop (~0.1 G elem/s), so tracking cost is
+    proportional to gathered-element count; this is the LM hot path.
+
+    Returns ``(psi, g3)`` with ``psi`` shaped like the points' trailing
+    shape and ``g3`` of shape ``(3,) + trailing`` (already divided by
+    ``voxel_size``).
+    """
+    Z, Y, X = vol.shape
+    vx, vy, vz, pz = _transform_to_grid(points_cam, rel_rot, rel_trans,
+                                        voxel_size, (Z, Y, X))
+
+    x0 = jnp.floor(vx).astype(jnp.int32)
+    y0 = jnp.floor(vy).astype(jnp.int32)
+    z0 = jnp.floor(vz).astype(jnp.int32)
+    fx = vx - x0
+    fy = vy - y0
+    fz = vz - z0
+
+    flat = vol.reshape(-1)
+    xi = [jnp.clip(x0 + d, 0, X - 1) for d in range(3)]
+    yi = [jnp.clip(y0 + d, 0, Y - 1) for d in range(3)]
+    zi = [jnp.clip(z0 + d, 0, Z - 1) for d in range(3)]
+
+    # 27-corner cube c[dz][dy][dx]
+    c = [[[jnp.take(flat, (zi[dz] * Y + yi[dy]) * X + xi[dx])
+           for dx in range(3)] for dy in range(3)] for dz in range(3)]
+
+    def trilerp(oz, oy, ox):
+        def lx(dy, dz):
+            return c[dz][dy][ox] * (1 - fx) + c[dz][dy][ox + 1] * fx
+
+        def ly(dz):
+            return lx(oy, dz) * (1 - fy) + lx(oy + 1, dz) * fy
+
+        return ly(oz) * (1 - fz) + ly(oz + 1) * fz
+
+    base_val = trilerp(0, 0, 0)
+
+    inside = (pz > 0) & (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0)
+    valid1 = inside & (vx + 1 < X) & (vy + 1 < Y) & (vz + 1 < Z)
+    valid2 = inside & (vx + 2 < X) & (vy + 2 < Y) & (vz + 2 < Z)
+    psi = jnp.where(valid1, base_val, 0.0)
+    base = jnp.where(valid2, base_val, 0.0)
+
+    # shifted trilerps: integer grid shift leaves the fractions unchanged;
+    # per-shift validity matches sample_volume_at_points(grid_offset=e)
+    # (bounds are evaluated on the SHIFTED coords, e.g. vx+1 >= 0).
+    def vld(ex, ey, ez):
+        return ((pz > 0)
+                & (vx + ex >= 0.0) & (vy + ey >= 0.0) & (vz + ez >= 0.0)
+                & (vx + ex + 2 < X) & (vy + ey + 2 < Y) & (vz + ez + 2 < Z))
+
+    sx = jnp.where(vld(1, 0, 0), trilerp(0, 0, 1), 0.0)
+    sy = jnp.where(vld(0, 1, 0), trilerp(0, 1, 0), 0.0)
+    sz = jnp.where(vld(0, 0, 1), trilerp(1, 0, 0), 0.0)
+    g3 = jnp.stack([sx - base, sy - base, sz - base], axis=0) / voxel_size
+    return psi, g3
+
+
 def sample_volume_at_points(vol: jnp.ndarray, points_cam: jnp.ndarray,
                             rel_rot: jnp.ndarray, rel_trans: jnp.ndarray,
                             voxel_size, margin: int = 1,

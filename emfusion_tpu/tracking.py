@@ -30,7 +30,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from emfusion_tpu.geometry.sampling import sample_volume_at_points
+from emfusion_tpu.geometry.sampling import (
+    sample_system_at_points, sample_volume_at_points,
+)
 from emfusion_tpu.geometry.se3 import se3_exp, se3_log
 
 
@@ -58,6 +60,7 @@ class _LMState(NamedTuple):
     w: jnp.ndarray          # (N,)
     A: jnp.ndarray          # (6,6)
     b: jnp.ndarray          # (6,)
+    err: jnp.ndarray        # sum(w * psi^2) at the current pose
     it: jnp.ndarray
 
 
@@ -94,19 +97,13 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
     f32 = jnp.float32
 
     def eval_system(R, t):
-        """Jacobian rows, residuals and combined weights at a pose."""
-        psi = _sample_tsdf(tsdf, points, R, t, voxel_size)
-        # J translation part: trilinear grad / voxel size, margin 2
-        # (``kernel_computePoseGradients``, TSDF.cu:603-660).
-        # trilerp(forward-diff volume, v) == trilerp(t, v+e) - trilerp(t, v)
-        base = sample_volume_at_points(tsdf, points, R, t, voxel_size,
-                                       margin=2)
-        def shifted(e):
-            return sample_volume_at_points(tsdf, points, R, t, voxel_size,
-                                           margin=2, grid_offset=e)
-        g3 = jnp.stack([shifted((1, 0, 0)) - base,
-                        shifted((0, 1, 0)) - base,
-                        shifted((0, 0, 1)) - base], axis=0) / voxel_size
+        """Jacobian rows, residuals and combined weights at a pose.
+
+        One fused 27-corner neighborhood gather yields the margin-1
+        residual psi AND the finite-difference gradient (J translation
+        part, ``kernel_computePoseGradients``, TSDF.cu:603-660) — the
+        gather-bound LM hot path on TPU."""
+        psi, g3 = sample_system_at_points(tsdf, points, R, t, voxel_size)
         p = R @ points + t[:, None]                            # (3, N)
         grad_r = jnp.cross(p, g3, axis=0)
         J = jnp.concatenate([g3, grad_r], axis=0)              # (6, N)
@@ -132,18 +129,22 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         return A, b
 
     def body(s: _LMState) -> _LMState:
-        psi = _sample_tsdf(tsdf, points, s.R, s.t, voxel_size)
+        # err = sum(w psi^2) at the current pose is carried in the state:
+        # on reject iterations pose/weights are unchanged, so re-sampling
+        # psi (the reference recomputes it per stage) would be a wasted
+        # N-point gather.
 
         def do_eval(_):
             psi_e, J, w = eval_system(s.R, s.t)
             A, b = build_normal_eqs(J, w, psi_e)
+            err = jnp.sum(w * psi_e * psi_e)
             conv = jnp.max(jnp.abs(b)) < cfg.eps1
-            return J, w, A, b, s.converged | conv
+            return J, w, A, b, err, s.converged | conv
 
         def no_eval(_):
-            return s.J, s.w, s.A, s.b, s.converged
+            return s.J, s.w, s.A, s.b, s.err, s.converged
 
-        J, w, A, b, converged = jax.lax.cond(
+        J, w, A, b, err, converged = jax.lax.cond(
             s.eval_grad & ~s.converged, do_eval, no_eval, None)
 
         def pose_update(_):
@@ -153,7 +154,6 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
             step_conv = jnp.linalg.norm(x) < cfg.eps2 * (
                 jnp.linalg.norm(rel_vec) + cfg.eps2)
 
-            err = jnp.sum(w * psi * psi)
             dT = se3_exp(-x)
             R_new = dT[:3, :3] @ s.R
             t_new = dT[:3, :3] @ s.t + dT[:3, 3]
@@ -186,9 +186,11 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         R, t, mu, nu, first, eval_grad, converged2 = jax.lax.cond(
             converged, no_update, pose_update, None)
 
+        # err stays valid across reject iterations (pose unchanged); after
+        # an accepted step the next do_eval refreshes it before use.
         return _LMState(R=R, t=t, mu=mu, nu=nu, first=first,
                         eval_grad=eval_grad, converged=converged2,
-                        J=J, w=w, A=A, b=b, it=s.it + 1)
+                        J=J, w=w, A=A, b=b, err=err, it=s.it + 1)
 
     def cond(s: _LMState):
         return (s.it < cfg.max_iter) & ~s.converged
@@ -200,7 +202,7 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         converged=jnp.asarray(~jnp.asarray(active, bool)),
         J=jnp.zeros((6, N), f32), w=jnp.zeros((N,), f32),
         A=jnp.eye(6, dtype=f32), b=jnp.zeros((6,), f32),
-        it=jnp.int32(0))
+        err=jnp.asarray(0.0, f32), it=jnp.int32(0))
 
     final = jax.lax.while_loop(cond, body, init)
     pose = _pose_mat(final.R, final.t)

@@ -112,3 +112,37 @@ def test_preprocess_depth_edge_preserving():
     out = np.asarray(preprocess_depth(jnp.asarray(depth)))
     np.testing.assert_allclose(out[16, 10], 1.0, atol=1e-3)
     np.testing.assert_allclose(out[16, 20], 3.0, atol=1e-3)
+
+
+def test_sample_system_matches_composed_path(rng):
+    """Fused 27-corner system sampler == five separate sample calls
+    (psi margin 1; grad = shifted margin-2 trilerp differences)."""
+    from emfusion_tpu.geometry.sampling import sample_system_at_points
+
+    vol = jnp.asarray(rng.randn(9, 10, 11).astype(np.float32))
+    # points spanning interior, boundary bands and out-of-volume
+    pts = rng.uniform(-0.8, 0.8, size=(3, 400)).astype(np.float32)
+    pts[2] = rng.uniform(-0.2, 1.2, size=400)  # include z<=0 invalids
+    pts = jnp.asarray(pts)
+    R = jnp.asarray(np.array(
+        [[0.936, -0.275, 0.218], [0.289, 0.957, -0.033],
+         [-0.2, 0.094, 0.975]], np.float32))
+    t = jnp.asarray(np.array([0.03, -0.05, 0.4], np.float32))
+    vs = 0.09
+
+    psi, g3 = sample_system_at_points(vol, pts, R, t, vs)
+
+    psi_ref = sample_volume_at_points(vol, pts, R, t, vs, margin=1)
+    base = sample_volume_at_points(vol, pts, R, t, vs, margin=2)
+
+    def shifted(e):
+        return sample_volume_at_points(vol, pts, R, t, vs, margin=2,
+                                       grid_offset=e)
+
+    g_ref = jnp.stack([shifted((1, 0, 0)) - base,
+                       shifted((0, 1, 0)) - base,
+                       shifted((0, 0, 1)) - base], axis=0) / vs
+
+    np.testing.assert_allclose(np.asarray(psi), np.asarray(psi_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g_ref), atol=1e-4)
