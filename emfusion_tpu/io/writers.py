@@ -174,35 +174,40 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
         write_pose_file(os.path.join(path, f"poses-{oid}-corrected.txt"),
                         corrected, stamps)
 
-    # rendering / assoc / mask image dumps
+    # rendering / assoc / weight / mask image dumps — tree mirrors the
+    # reference writers (EMFusion.cpp:1027-1146): masks/, assoc_weights/
+    # {bg,<id>}/{pre,post}Track, huber_weights/{bg,<id>}, track_weights/
+    # {bg,<id>}, fg_probs/<id>
     try:
         import imageio
+
+        def _dump(sub, idx, im):
+            os.makedirs(os.path.join(path, sub), exist_ok=True)
+            arr = np.asarray(im)
+            if arr.dtype != np.uint8:
+                arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+            imageio.imwrite(os.path.join(path, sub, f"{idx:04d}.png"), arr)
+
         for sub, key in (("output", "renderings"),
                          ("assoc_weights/bg/preTrack", "bg_assoc_pre"),
                          ("assoc_weights/bg/postTrack", "bg_assoc_post"),
-                         ("track_weights", "track_weights")):
-            d = pipe.outputs.get(key, {})
-            if not d:
-                continue
-            os.makedirs(os.path.join(path, sub), exist_ok=True)
-            for idx, im in d.items():
-                arr = np.asarray(im)
-                if arr.dtype != np.uint8:
-                    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
-                imageio.imwrite(
-                    os.path.join(path, sub, f"{idx:04d}.png"), arr)
-        # per-object association dumps: assoc_weights/<id>/{pre,post}Track
-        for key, stage in (("obj_assoc_pre", "preTrack"),
-                           ("obj_assoc_post", "postTrack")):
+                         ("track_weights/bg", "track_weights_bg"),
+                         ("huber_weights/bg", "huber_weights_bg")):
+            for idx, im in pipe.outputs.get(key, {}).items():
+                _dump(sub, idx, im)
+        for idx, mask_list in pipe.outputs.get("masks", {}).items():
+            for i, m in enumerate(mask_list):
+                _dump("masks", idx * 100 + i, np.asarray(m))
+        # per-object dumps keyed {frame: {obj_id: image}}
+        for key, sub_fmt in (
+                ("obj_assoc_pre", "assoc_weights/{oid}/preTrack"),
+                ("obj_assoc_post", "assoc_weights/{oid}/postTrack"),
+                ("obj_track_weights", "track_weights/{oid}"),
+                ("obj_huber_weights", "huber_weights/{oid}"),
+                ("fg_probs", "fg_probs/{oid}")):
             for idx, per_obj in pipe.outputs.get(key, {}).items():
                 for oid, im in per_obj.items():
-                    sub = os.path.join(path, "assoc_weights", str(oid),
-                                       stage)
-                    os.makedirs(sub, exist_ok=True)
-                    arr = np.clip(np.asarray(im) * 255.0, 0,
-                                  255).astype(np.uint8)
-                    imageio.imwrite(
-                        os.path.join(sub, f"{idx:04d}.png"), arr)
+                    _dump(sub_fmt.format(oid=oid), idx, im)
     except ImportError:
         pass
 

@@ -142,7 +142,10 @@ class EMFusionPipeline:
         self.outputs: Dict[str, dict] = {
             "bg_assoc_pre": {}, "bg_assoc_post": {},
             "obj_assoc_pre": {}, "obj_assoc_post": {},
-            "renderings": {}, "masks": {}, "track_weights": {},
+            "renderings": {}, "masks": {},
+            "track_weights_bg": {}, "huber_weights_bg": {},
+            "obj_track_weights": {}, "obj_huber_weights": {},
+            "fg_probs": {},
         }
         # last raycast results (host copies of what render() needs)
         self._last_raycast = None
@@ -202,7 +205,11 @@ class EMFusionPipeline:
             inactive models in the reference's per-object loop).
 
             With estep_scale > 1, weights are computed on a subsampled
-            pixel grid and nearest-upsampled back to (H, W)."""
+            pixel grid and nearest-upsampled back to (H, W).
+
+            Also returns the per-object sampled fg probabilities (the
+            reference's getFgProbVals cache, EMFusion.cpp:120; fg_probs/
+            export) when exports are enabled, else None."""
             pts = points[:, ::escale, ::escale] if escale > 1 else points
             rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
             bg_w, _ = association_weights(
@@ -213,36 +220,42 @@ class EMFusionPipeline:
             def obj_assoc(tsdf, fgc, pose, vs, td):
                 rel = pose_inverse(pose) @ state.cam_pose
                 fgvol = compute_fg_probs(fgc)
-                w, _ = association_weights(
+                w, fg = association_weights(
                     tsdf, pts, rel[:3, :3], rel[:3, 3], vs, td,
                     tsdfp.assocSigma, tsdfp.alpha, tsdfp.uniPrior,
                     fg_prob_vol=fgvol)
-                return w
+                return w, fg
 
             o = state.objs
 
             def take(arr):
                 return jnp.take(arr, slots, axis=0)
 
-            obj_w_sub = jax.vmap(obj_assoc)(
+            obj_w_sub, obj_fg_sub = jax.vmap(obj_assoc)(
                 take(o.tsdf), take(o.fg_counts), take(o.pose),
                 take(o.voxel_size), take(o.truncdist))
             ph, pw = pts.shape[1], pts.shape[2]
             obj_w = jnp.zeros((K, ph, pw), jnp.float32
                               ).at[slots].set(obj_w_sub)
             bg_n, obj_n = normalize_associations(bg_w, obj_w, o.active)
+
+            def up(img):
+                img = jnp.repeat(img, escale, axis=-2)
+                img = jnp.repeat(img, escale, axis=-1)
+                return img[..., :H, :W]
+
             if escale > 1:
-                def up(img):
-                    img = jnp.repeat(img, escale, axis=-2)
-                    img = jnp.repeat(img, escale, axis=-1)
-                    return img[..., :H, :W]
                 bg_n, obj_n = up(bg_n), up(obj_n)
+            fg_out = None
+            if self.save_output:
+                fg_out = up(obj_fg_sub) if escale > 1 else obj_fg_sub
             return state.replace(bg_assoc=bg_n,
-                                 objs=o.replace(assoc=obj_n))
+                                 objs=o.replace(assoc=obj_n)), fg_out
 
         def estep(state: PipelineState, points):
-            return estep_subset(state, points,
-                                jnp.arange(K, dtype=jnp.int32))
+            state, _ = estep_subset(state, points,
+                                    jnp.arange(K, dtype=jnp.int32))
+            return state
 
         stride = p.tracking_stride
         if stride == 0:
@@ -253,18 +266,22 @@ class EMFusionPipeline:
             pts = points[:, ::stride, ::stride].reshape(3, -1)
             return pts, assoc[::stride, ::stride].reshape(-1)
 
+        hs = (H + stride - 1) // stride
+        ws = (W + stride - 1) // stride
+
         def track_camera(state: PipelineState, points):
             """Camera-vs-background LM (performTracking, first half).
-            Returns (state, track-weight image (H/stride, W/stride))."""
+            Returns (state, track-weight image, huber-weight image), both
+            (H/stride, W/stride)."""
             pts, asc = _track_pts(points, state.bg_assoc)
             rel_init = reorthonormalize(
                 pose_inverse(state.bg_pose) @ state.cam_pose)
             rel, stats = track_volume(
                 state.bg_tsdf, state.bg_weights, bg_voxel,
                 pts, asc, rel_init, cfg)
-            tw = stats["track_weights"].reshape(
-                (H + stride - 1) // stride, (W + stride - 1) // stride)
-            return state.replace(cam_pose=state.bg_pose @ rel), tw
+            tw = stats["track_weights"].reshape(hs, ws)
+            hw = stats["huber_weights"].reshape(hs, ws)
+            return state.replace(cam_pose=state.bg_pose @ rel), tw, hw
 
         def track_objs_subset(state: PipelineState, points, slots):
             """Object LM over the given pool slots only (the reference
@@ -276,31 +293,34 @@ class EMFusionPipeline:
             def track_obj(tsdf, weights, vs, pose, assoc, active):
                 pts, asc = _track_pts(points, assoc)
                 rel_i = reorthonormalize(pose_inverse(pose) @ cam_pose)
-                rel_o, _ = track_volume(tsdf, weights, vs, pts,
-                                        asc, rel_i, cfg, active=active)
+                rel_o, st = track_volume(tsdf, weights, vs, pts,
+                                         asc, rel_i, cfg, active=active)
                 # ObjTSDF::syncTrack: pose = cam_pose * rel^-1
-                return cam_pose @ pose_inverse(rel_o)
+                return (cam_pose @ pose_inverse(rel_o),
+                        st["track_weights"].reshape(hs, ws),
+                        st["huber_weights"].reshape(hs, ws))
 
             def take(arr):
                 return jnp.take(arr, slots, axis=0)
 
-            new_sub = jax.vmap(track_obj)(
+            new_sub, tw_sub, hw_sub = jax.vmap(track_obj)(
                 take(o.tsdf), take(o.weights),
                 take(o.voxel_size), take(o.pose), take(o.assoc),
                 take(o.active))
             new_sub = jnp.where(take(o.active)[:, None, None], new_sub,
                                 take(o.pose))
             poses = o.pose.at[slots].set(new_sub)
-            return state.replace(objs=o.replace(pose=poses))
+            return state.replace(objs=o.replace(pose=poses)), tw_sub, hw_sub
 
         def track_all(state: PipelineState, points):
             """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
             then all objects batched (full-pool variant used by the
             single-jit frame step / sharding dry runs)."""
-            state, _ = track_camera(state, points)
+            state, _, _ = track_camera(state, points)
             state = estep(state, points)
-            return track_objs_subset(state, points,
-                                     jnp.arange(K, dtype=jnp.int32))
+            state, _, _ = track_objs_subset(state, points,
+                                            jnp.arange(K, dtype=jnp.int32))
+            return state
 
         rc_backend = p.raycast_backend
         if rc_backend == "auto":
@@ -618,23 +638,41 @@ class EMFusionPipeline:
             active = np.asarray(self.state.objs.active)
             slots = jnp.asarray(np.nonzero(active)[0], jnp.int32)
             with self.timer.phase("estep_pre"):
-                state = self._estep_subset(self.state, points, slots)
+                state, _ = self._estep_subset(self.state, points, slots)
             pre_bg = state.bg_assoc
             pre_obj = state.objs.assoc
             with self.timer.phase("track_camera"):
-                state, track_w = self._track_camera(state, points)
+                state, track_w, huber_w = self._track_camera(state, points)
             if self.save_output:
-                self.outputs["track_weights"][self.frame] = \
+                self.outputs["track_weights_bg"][self.frame] = \
                     np.asarray(track_w)
+                self.outputs["huber_weights_bg"][self.frame] = \
+                    np.asarray(huber_w)
             with self.timer.phase("estep_mid"):
-                state = self._estep_subset(state, points,
-                                           slots)   # EMFusion.cpp:687
+                state, _ = self._estep_subset(state, points,
+                                              slots)   # EMFusion.cpp:687
             if len(slots) > 0:
                 with self.timer.phase("track_objects"):
-                    state = self._track_objs_subset(state, points, slots)
+                    state, obj_tw, obj_hw = self._track_objs_subset(
+                        state, points, slots)
+                if self.save_output:
+                    ids_now = np.asarray(state.objs.object_id)
+                    slot_ids = [int(ids_now[int(s)]) for s in
+                                np.asarray(slots)]
+                    self.outputs["obj_track_weights"][self.frame] = {
+                        oid: np.asarray(obj_tw[i])
+                        for i, oid in enumerate(slot_ids)}
+                    self.outputs["obj_huber_weights"][self.frame] = {
+                        oid: np.asarray(obj_hw[i])
+                        for i, oid in enumerate(slot_ids)}
             with self.timer.phase("estep_post"):
-                state = self._estep_subset(state, points,
-                                           slots)   # post-track, :87
+                state, fg_imgs = self._estep_subset(state, points,
+                                                    slots)  # post-track, :87
+            if self.save_output and fg_imgs is not None and len(slots) > 0:
+                ids_now = np.asarray(state.objs.object_id)
+                self.outputs["fg_probs"][self.frame] = {
+                    int(ids_now[int(s)]): np.asarray(fg_imgs[i])
+                    for i, s in enumerate(np.asarray(slots))}
             with self.timer.phase("raycast"):
                 state, rc = self._raycast_subset(state, slots)
             self.state = state

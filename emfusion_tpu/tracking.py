@@ -61,6 +61,7 @@ class _LMState(NamedTuple):
     A: jnp.ndarray          # (6,6)
     b: jnp.ndarray          # (6,)
     err: jnp.ndarray        # sum(w * psi^2) at the current pose
+    hub: jnp.ndarray        # (N,) huber weights at the last gradient eval
     it: jnp.ndarray
 
 
@@ -120,7 +121,7 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         wmax = jnp.max(intw)
         intw = jnp.where(wmax > 0, intw / wmax, 0.0)
         w = huber * intw * assoc
-        return psi, J, w
+        return psi, J, w, huber
 
     def build_normal_eqs(J, w, psi):
         Jw = J * w[None, :]          # (6, N)
@@ -135,16 +136,16 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         # N-point gather.
 
         def do_eval(_):
-            psi_e, J, w = eval_system(s.R, s.t)
+            psi_e, J, w, hub = eval_system(s.R, s.t)
             A, b = build_normal_eqs(J, w, psi_e)
             err = jnp.sum(w * psi_e * psi_e)
             conv = jnp.max(jnp.abs(b)) < cfg.eps1
-            return J, w, A, b, err, s.converged | conv
+            return J, w, A, b, err, hub, s.converged | conv
 
         def no_eval(_):
-            return s.J, s.w, s.A, s.b, s.err, s.converged
+            return s.J, s.w, s.A, s.b, s.err, s.hub, s.converged
 
-        J, w, A, b, err, converged = jax.lax.cond(
+        J, w, A, b, err, hub, converged = jax.lax.cond(
             s.eval_grad & ~s.converged, do_eval, no_eval, None)
 
         def pose_update(_):
@@ -190,7 +191,7 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         # an accepted step the next do_eval refreshes it before use.
         return _LMState(R=R, t=t, mu=mu, nu=nu, first=first,
                         eval_grad=eval_grad, converged=converged2,
-                        J=J, w=w, A=A, b=b, err=err, it=s.it + 1)
+                        J=J, w=w, A=A, b=b, err=err, hub=hub, it=s.it + 1)
 
     def cond(s: _LMState):
         return (s.it < cfg.max_iter) & ~s.converged
@@ -202,13 +203,15 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         converged=jnp.asarray(~jnp.asarray(active, bool)),
         J=jnp.zeros((6, N), f32), w=jnp.zeros((N,), f32),
         A=jnp.eye(6, dtype=f32), b=jnp.zeros((6,), f32),
-        err=jnp.asarray(0.0, f32), it=jnp.int32(0))
+        err=jnp.asarray(0.0, f32), hub=jnp.zeros((N,), f32),
+        it=jnp.int32(0))
 
     final = jax.lax.while_loop(cond, body, init)
     pose = _pose_mat(final.R, final.t)
-    # final combined per-point weights (huber*int*assoc) — the reference's
-    # track_weights/ debug export (EMFusion.cpp:1125-1160)
+    # final combined per-point weights (huber*int*assoc) and raw huber
+    # weights at the last gradient eval — the reference's track_weights/
+    # and huber_weights/ debug exports (EMFusion.cpp:1088-1131)
     stats = {"iterations": final.it, "converged": final.converged,
              "grad_norm": jnp.max(jnp.abs(final.b)),
-             "track_weights": final.w}
+             "track_weights": final.w, "huber_weights": final.hub}
     return pose, stats

@@ -147,3 +147,47 @@ def test_object_deleted_when_gone():
         depth, _ = scene.render(cam, np.array([50.0, 50.0, 50.0]))
         pipe.process_frame(None, depth)
     assert len(pipe.active_object_ids) == 0
+
+
+def test_export_tree(tmp_path):
+    """write_results produces the reference's debug-export directory tree
+    (EMFusion.cpp:1027-1146): masks/, assoc_weights/{bg,<id>}/{pre,post}
+    Track, huber_weights/{bg,<id>}, track_weights/{bg,<id>}, fg_probs/<id>,
+    output/, poses + meshes."""
+    import os
+    from emfusion_tpu.io.writers import write_results
+    from tests.synthetic import SyntheticScene
+
+    scene = SyntheticScene()
+    masks = {}
+
+    def provider_fn(rgb, frame):
+        return [Detection(mask=masks[frame],
+                          scores=make_score_vector(3, 0.9))]
+
+    pipe = EMFusionPipeline(small_params(),
+                            CallableMaskProvider(provider_fn),
+                            save_output=True)
+    cam = np.eye(4, dtype=np.float32)
+    for f in range(5):
+        depth, mask = scene.render(cam, np.array([0.22, 0.1, 1.05]))
+        masks[f] = mask
+        pipe.process_frame(None, depth)
+        pipe.outputs["renderings"][f] = pipe.render()
+
+    out = tmp_path / "exp"
+    write_results(pipe, str(out))
+
+    assert (out / "poses-cam.txt").exists()
+    oid = pipe.active_object_ids[0]
+    assert (out / f"poses-{oid}.txt").exists()
+    for sub in ("output", "masks",
+                "assoc_weights/bg/preTrack", "assoc_weights/bg/postTrack",
+                f"assoc_weights/{oid}/preTrack",
+                f"assoc_weights/{oid}/postTrack",
+                "track_weights/bg", f"track_weights/{oid}",
+                "huber_weights/bg", f"huber_weights/{oid}",
+                f"fg_probs/{oid}"):
+        d = out / sub
+        assert d.is_dir() and any(d.iterdir()), f"missing export {sub}"
+    assert (out / "mesh_bg.ply").exists()
