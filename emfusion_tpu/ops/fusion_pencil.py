@@ -41,6 +41,26 @@ import jax
 import jax.numpy as jnp
 
 
+# Scan-axis selection: the pencil/sweep scan runs over the volume's
+# leading (z) array axis; when the camera's optical axis is nearly
+# perpendicular to volume z, slices project to grazing lines and the
+# B-window degenerates. Relabeling the volume coords so the dominant
+# optical axis becomes the scan axis fixes this: for scan axis s,
+# new coord j = old coord AXIS_COORD[s][j], array transposed with
+# AXIS_TRANSPOSE[s] (inverse AXIS_UNTRANSPOSE[s]).
+AXIS_COORD = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
+AXIS_TRANSPOSE = {0: (2, 0, 1), 1: (1, 2, 0), 2: (0, 1, 2)}
+AXIS_UNTRANSPOSE = {0: (1, 2, 0), 1: (2, 0, 1), 2: (0, 1, 2)}
+
+
+def pick_scan_axis(rel_rot_co) -> int:
+    """Volume axis (0=x, 1=y, 2=z) most aligned with the camera optical
+    axis; ``rel_rot_co`` maps camera coords to volume coords (host-side
+    numpy — the choice is a static jit argument)."""
+    import numpy as np
+    return int(np.argmax(np.abs(np.asarray(rel_rot_co)[:3, 2])))
+
+
 def _pencil_setup(rel_rot, rel_trans, intr, voxel_size, Z, Y, X):
     """Returns (Bmat, abg (Z,3), cam coeffs).
 
@@ -294,7 +314,7 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
                           rel_trans_oc, intr, voxel_size, truncdist,
                           max_weight, oversample: float = 1.25,
-                          bf16: bool = False, grid=None
+                          bf16: bool = False, grid=None, axis: int = 2
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`.
 
@@ -302,8 +322,14 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
     clipped to the volume's projected extent, so a small volume (object)
     can use a much smaller grid than the image without losing sampling
     density — cutting the per-slice matmuls proportionally.
+
+    ``axis``: static scan axis (see :func:`pick_scan_axis`); the volume is
+    relabeled so this axis is the slice-scan axis, fixing the grazing-
+    slice degeneracy at extreme camera pitch.
     """
     tsdf = jnp.asarray(tsdf, jnp.float32)
+    weights = jnp.asarray(weights, jnp.float32)
+    rel_rot_oc = jnp.asarray(rel_rot_oc)
     depth = jnp.asarray(depth, jnp.float32)
     H, W = depth.shape
     if grid is not None:
@@ -311,10 +337,19 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
     else:
         SB = int(-(-int(H * oversample) // 8) * 8)
         LB = int(-(-int(W * oversample) // 128) * 128)
-    return _integrate_pencil(
-        tsdf, jnp.asarray(weights, jnp.float32), depth,
+    if axis != 2:
+        # p_cam = R p_vol + t = (R P^T) p'_vol + t: permute R's columns
+        tsdf = jnp.transpose(tsdf, AXIS_TRANSPOSE[axis])
+        weights = jnp.transpose(weights, AXIS_TRANSPOSE[axis])
+        rel_rot_oc = rel_rot_oc[:, jnp.asarray(AXIS_COORD[axis], jnp.int32)]
+    t_new, w_new = _integrate_pencil(
+        tsdf, weights, depth,
         jnp.asarray(assoc_weights, jnp.float32),
-        jnp.asarray(rel_rot_oc), jnp.asarray(rel_trans_oc),
+        rel_rot_oc, jnp.asarray(rel_trans_oc),
         jnp.asarray(intr), jnp.float32(voxel_size),
         jnp.float32(truncdist), jnp.float32(max_weight), SB=SB, LB=LB,
         bf16=bf16)
+    if axis != 2:
+        t_new = jnp.transpose(t_new, AXIS_UNTRANSPOSE[axis])
+        w_new = jnp.transpose(w_new, AXIS_UNTRANSPOSE[axis])
+    return t_new, w_new

@@ -40,7 +40,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from emfusion_tpu.ops.fusion_pencil import _pencil_setup, _window_from_quad
+from emfusion_tpu.ops.fusion_pencil import (
+    AXIS_COORD, AXIS_TRANSPOSE, _pencil_setup, _window_from_quad,
+)
 
 
 def _linear_matrix(src_size: int, coords: jnp.ndarray) -> jnp.ndarray:
@@ -224,14 +226,28 @@ def raycast_sweep(tsdf_vol, weights_vol, rel_rot_co, rel_trans_co, intr,
                   voxel_size, truncdist, height: int, width: int,
                   prev_raylengths: Optional[jnp.ndarray] = None,
                   oversample: float = 1.25, bf16: bool = False,
-                  grid=None):
+                  grid=None, axis: int = 2):
     """Sweep raycast; drop-in for :func:`ops.raycast.raycast_volume`
     (gradient volume not needed — normals come from the vertex map).
 
     ``prev_raylengths`` is applied post-hoc: hits farther than a nonzero
     previous raylength are discarded (equivalent to the reference's
     march clamp for compositing purposes, ``TSDF.cu:496-500``).
+
+    ``axis``: static scan axis (``fusion_pencil.pick_scan_axis``); all
+    outputs are image-space, so only the inputs are relabeled.
     """
+    tsdf_vol = jnp.asarray(tsdf_vol, jnp.float32)
+    weights_vol = jnp.asarray(weights_vol, jnp.float32)
+    rel_rot_co = jnp.asarray(rel_rot_co)
+    rel_trans_co = jnp.asarray(rel_trans_co)
+    if axis != 2:
+        # p'_vol = P (R_co p_cam + t_co): permute R_co's rows and t_co
+        tsdf_vol = jnp.transpose(tsdf_vol, AXIS_TRANSPOSE[axis])
+        weights_vol = jnp.transpose(weights_vol, AXIS_TRANSPOSE[axis])
+        perm = jnp.asarray(AXIS_COORD[axis], jnp.int32)
+        rel_rot_co = rel_rot_co[perm, :]
+        rel_trans_co = rel_trans_co[perm]
     # pencil setup wants the voxel -> camera direction (object-to-camera)
     R_oc = rel_rot_co.T
     t_oc = -R_oc @ rel_trans_co

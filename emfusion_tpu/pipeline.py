@@ -49,7 +49,9 @@ from emfusion_tpu.ops.association import association_weights, \
 from emfusion_tpu.ops.fusion import (
     integrate_tsdf, compute_gradients, integrate_fg_mask,
 )
-from emfusion_tpu.ops.fusion_pencil import integrate_tsdf_pencil
+from emfusion_tpu.ops.fusion_pencil import (
+    integrate_tsdf_pencil, pick_scan_axis,
+)
 from emfusion_tpu.ops.raycast import raycast_volume
 from emfusion_tpu.ops.raycast_sweep import raycast_sweep
 from emfusion_tpu.ops.render import render_phong, make_colormap
@@ -328,22 +330,25 @@ class EMFusionPipeline:
                           else "march")
 
         def _rc(tsdf, grads, weights, rel_rot, rel_trans, vs, td,
-                small=False):
+                small=False, axis=2):
             if rc_backend == "sweep":
                 return raycast_sweep(tsdf, weights, rel_rot, rel_trans,
                                      intr, vs, td, H, W,
                                      bf16=p.matmul_bf16,
-                                     grid=(256, 256) if small else None)
+                                     grid=(256, 256) if small else None,
+                                     axis=axis)
             return raycast_volume(tsdf, grads, weights, rel_rot, rel_trans,
                                   intr, vs, td, H, W, max_steps=max_steps)
 
-        def raycast_subset(state: PipelineState, slots):
+        def raycast_subset(state: PipelineState, slots, bg_axis=2):
             """EMFusion::raycast (EMFusion.cpp:726-795): parallel raycasts +
             nearest-surface composite + bg override + visibility, over the
-            given object slots (full-K outputs scattered back)."""
+            given object slots (full-K outputs scattered back).
+            ``bg_axis``: static scan axis for the background sweep."""
             rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
             bg_rc = _rc(state.bg_tsdf, state.bg_grads, state.bg_weights,
-                        rel_bg[:3, :3], rel_bg[:3, 3], bg_voxel, bg_trunc)
+                        rel_bg[:3, :3], rel_bg[:3, 3], bg_voxel, bg_trunc,
+                        axis=bg_axis)
 
             o = state.objs
             n_sub = slots.shape[0]
@@ -437,14 +442,16 @@ class EMFusionPipeline:
             fuse_fn = integrate_tsdf
             obj_fuse_fn = integrate_tsdf
 
-        def integrate_subset(state: PipelineState, depth, slots):
+        def integrate_subset(state: PipelineState, depth, slots, bg_axis=2):
             """integrateDepth (EMFusion.cpp:865-889): bg + the given
-            object slots (visible ones actually update)."""
+            object slots (visible ones actually update). ``bg_axis``:
+            static scan axis for the background pencil fusion."""
             rel_bg_oc = pose_inverse(state.cam_pose) @ state.bg_pose
+            kw = {"axis": bg_axis} if backend == "pencil" else {}
             bg_t, bg_w = fuse_fn(
                 state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
                 rel_bg_oc[:3, :3], rel_bg_oc[:3, 3], intr, bg_voxel,
-                bg_trunc, tsdfp.maxTSDFWeight)
+                bg_trunc, tsdfp.maxTSDFWeight, **kw)
             # the gradient volume is only consumed by the lock-step march
             # raycast; tracking samples gradients from TSDF differences
             # and exports compute gradients on demand. Skipping it on the
@@ -532,7 +539,8 @@ class EMFusionPipeline:
         self._estep = jax.jit(estep)
         self._frame_track = jax.jit(frame_track)
         self._integrate = jax.jit(integrate)
-        self._integrate_subset = jax.jit(integrate_subset)
+        self._integrate_subset = jax.jit(integrate_subset,
+                                         static_argnames=("bg_axis",))
         self._integrate_masks = jax.jit(integrate_masks)
         # split frame-step pieces (process_frame path: lets the object LM
         # run over the active slot subset only)
@@ -540,7 +548,10 @@ class EMFusionPipeline:
         self._track_objs_subset = jax.jit(track_objs_subset)
         self._estep_subset = jax.jit(estep_subset)
         self._raycast_all = jax.jit(raycast_all)
-        self._raycast_subset = jax.jit(raycast_subset)
+        self._raycast_subset = jax.jit(raycast_subset,
+                                       static_argnames=("bg_axis",))
+        self._scan_axis_dynamic = backend == "pencil" or \
+            rc_backend == "sweep"
         # raw (unjitted) versions for custom jit wrapping (sharded runs,
         # __graft_entry__, benchmarks)
         self._frame_track_fn = frame_track
@@ -674,7 +685,8 @@ class EMFusionPipeline:
                     int(ids_now[int(s)]): np.asarray(fg_imgs[i])
                     for i, s in enumerate(np.asarray(slots))}
             with self.timer.phase("raycast"):
-                state, rc = self._raycast_subset(state, slots)
+                state, rc = self._raycast_subset(
+                    state, slots, bg_axis=self._bg_scan_axis(state))
             self.state = state
             self._last_raycast = rc
             if self.save_output:
@@ -702,7 +714,9 @@ class EMFusionPipeline:
         with self.timer.phase("integrate"):
             act = np.asarray(self.state.objs.active)
             islots = jnp.asarray(np.nonzero(act)[0], jnp.int32)
-            self.state = self._integrate_subset(self.state, depth, islots)
+            self.state = self._integrate_subset(
+                self.state, depth, islots,
+                bg_axis=self._bg_scan_axis(self.state))
 
         if num_instances > 0:
             with self.timer.phase("integrate_masks"):
@@ -711,6 +725,17 @@ class EMFusionPipeline:
         self._clean_up_objs(num_instances, matches, rc)
 
         self.frame += 1
+
+    # ------------------------------------------------------------------
+    def _bg_scan_axis(self, state: PipelineState) -> int:
+        """Static scan axis for the background pencil/sweep programs —
+        the volume axis most aligned with the camera optical axis
+        (host-side: each value compiles its own cached program variant)."""
+        if not self._scan_axis_dynamic:
+            return 2
+        rel_co = np.linalg.inv(np.asarray(state.bg_pose)) \
+            @ np.asarray(state.cam_pose)
+        return pick_scan_axis(rel_co)
 
     # ------------------------------------------------------------------
     def _store_poses(self):

@@ -100,3 +100,47 @@ def test_pencil_convergence_to_surface(rng):
     assert np.min(np.abs(band)) < 0.35, band
     # free space in front of the surface must be positive
     assert float(tsdf[zi - 3, yi, xi]) > 0.4
+
+
+def test_pencil_scan_axis_pitched_camera(rng):
+    """Camera looking along volume +x: the default z scan degrades to
+    grazing slices, the relabeled scan (axis from pick_scan_axis) must
+    match the exact gather reference."""
+    from emfusion_tpu.ops.fusion_pencil import pick_scan_axis
+
+    tsdf, w, depth, assoc, intr, voxel, trunc = _setup(rng)
+    rot = jnp.asarray(_rot("y", -90))   # vol x -> cam z
+    tr = jnp.asarray(np.array([0.01, -0.02, 1.3], np.float32))
+    # pick_scan_axis wants camera->object: R_co = R_oc^T
+    ax = pick_scan_axis(np.asarray(rot).T)
+    assert ax == 0
+
+    t_ref, w_ref = integrate_tsdf(tsdf, w, depth, assoc, rot, tr, intr,
+                                  voxel, trunc, 64.0)
+    t_pen, _ = integrate_tsdf_pencil(tsdf, w, depth, assoc, rot, tr,
+                                     intr, voxel, trunc, 64.0,
+                                     oversample=2.0, axis=ax)
+    dt = np.abs(np.asarray(t_pen) - np.asarray(t_ref))
+    frac_large = (dt > 0.05).mean()
+    assert frac_large < 0.015, f"large-diff fraction {frac_large:.4f}"
+    assert np.median(dt) < 1e-3
+
+
+def test_pencil_scan_axis_y(rng):
+    """Same for a camera looking along volume -y (axis 1)."""
+    from emfusion_tpu.ops.fusion_pencil import pick_scan_axis
+
+    tsdf, w, depth, assoc, intr, voxel, trunc = _setup(rng)
+    rot = jnp.asarray(_rot("x", -90))   # vol -y -> cam z
+    tr = jnp.asarray(np.array([0.01, 0.02, 1.3], np.float32))
+    ax = pick_scan_axis(np.asarray(rot).T)
+    assert ax == 1
+
+    t_ref, _ = integrate_tsdf(tsdf, w, depth, assoc, rot, tr, intr,
+                              voxel, trunc, 64.0)
+    t_pen, _ = integrate_tsdf_pencil(tsdf, w, depth, assoc, rot, tr,
+                                     intr, voxel, trunc, 64.0,
+                                     oversample=2.0, axis=ax)
+    dt = np.abs(np.asarray(t_pen) - np.asarray(t_ref))
+    assert (dt > 0.05).mean() < 0.015
+    assert np.median(dt) < 1e-3

@@ -112,3 +112,34 @@ def test_sweep_backface_culled():
                         voxel, trunc, H, W)
     cy, cx = H // 2, W // 2
     assert not np.asarray(out["mask"])[cy, cx]
+
+
+def test_sweep_scan_axis_pitched_camera():
+    """Camera looking along volume +x: sweeping the relabeled axis must
+    match the lock-step march (the default z sweep would see only
+    grazing slices)."""
+    from emfusion_tpu.ops.fusion_pencil import pick_scan_axis
+
+    res, voxel, radius, trunc = 64, 0.05, 0.5, 0.25
+    tsdf, weights = sphere_volume(res, voxel, radius, trunc)
+    grads = compute_gradients(jnp.asarray(tsdf))
+    H, W = 48, 64
+    intr = make_intr(H, W)
+    rel_r = jnp.asarray(_rot("y", 90))            # cam z -> vol x
+    rel_t = jnp.asarray(np.array([-1.5, 0.0, 0.0], np.float32))
+    ax = pick_scan_axis(np.asarray(rel_r))
+    assert ax == 0
+
+    ref = raycast_volume(jnp.asarray(tsdf), grads, jnp.asarray(weights),
+                         rel_r, rel_t, intr, voxel, trunc, H, W,
+                         max_steps=512)
+    swp = raycast_sweep(jnp.asarray(tsdf), jnp.asarray(weights),
+                        rel_r, rel_t, intr, voxel, trunc, H, W,
+                        oversample=1.5, axis=ax)
+    m_ref = np.asarray(ref["mask"])
+    m_swp = np.asarray(swp["mask"])
+    assert (m_ref == m_swp).mean() > 0.97
+    both = m_ref & m_swp
+    dt = np.abs(np.asarray(ref["raylengths"]) -
+                np.asarray(swp["raylengths"]))[both]
+    assert np.median(dt) < voxel
