@@ -200,10 +200,16 @@ def _matmul_gather(E_src, data, E_dst, bf16: bool):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("SB", "LB", "bf16"))
+def _rup(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("SB", "LB", "bf16", "windowed"))
 def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
                       intr, voxel_size, truncdist, max_weight,
-                      SB: int, LB: int, bf16: bool = False):
+                      SB: int, LB: int, bf16: bool = False,
+                      windowed: bool = False):
     Z, Y, X = tsdf.shape
     H, W = depth.shape
     f32 = jnp.float32
@@ -246,6 +252,90 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
     pv = jnp.broadcast_to(pq_p[None, :], (Y, X))
     qv = jnp.broadcast_to(pq_q[:, None], (Y, X))
 
+    ra = SA / SB
+    rl = LA / LB
+
+    # Per-slice window ladder (windowed path): most slices' voxel
+    # footprints cover only a fraction of the B grid — far slices shrink
+    # as 1/gamma, behind-camera slices are empty. Dynamic-slicing a
+    # quarter-/half-size window out of D_B/A_B before the one-hot matmul
+    # gather cuts the per-slice MACs by the window ratio; a lax.switch
+    # picks the smallest fitting ladder rung at runtime (TPU executes
+    # only the taken branch — do NOT vmap this path, vmapped switch
+    # degenerates to select-all-branches).
+    LADDER = ((max(1, SB // 4), max(128, _rup(LB // 4, 128)),
+               max(1, SA // 4), max(128, _rup(LA // 4, 128))),
+              (max(1, _rup(SB // 2, 8)), max(128, _rup(LB // 2, 128)),
+               max(1, _rup(SA // 2, 8)), max(128, _rup(LA // 2, 128))),
+              (SB, LB, SA, LA))
+    LADDER = tuple((min(sw, SB), min(lw, LB), min(saw, SA), min(law, LA))
+                   for sw, lw, saw, law in LADDER)
+
+    def _gather_vals(ja, ib, ja_a, ib_a):
+        """depth/assoc at the slice's B coords, full-grid one-hot matmul."""
+        Ecol = _nearest_matrix(LB, ja)                          # (LB, X)
+        Erow = _nearest_matrix(SB, ib)                          # (SB, Y)
+        depth_val = _matmul_gather(Erow, D_B, Ecol, bf16)
+        Ecol_a = _nearest_matrix(LA, ja_a)
+        Erow_a = _nearest_matrix(SA, ib_a)
+        assoc_val = _matmul_gather(Erow_a, A_B, Ecol_a, bf16)
+        return depth_val, assoc_val
+
+    def _gather_vals_windowed(ja, ib, ja_a, ib_a):
+        """Same values via the smallest fitting window of the B grids.
+
+        Exactness: nearest-matrix selection index floor(c+0.5) is valid
+        iff in [0, n); a window [lo, lo+Wn) with integer lo covering the
+        clipped index range reproduces the full-grid selection (indices
+        outside the grid select nothing in both paths).
+        """
+        def rng(c, n):
+            lo = jnp.clip(jnp.floor(jnp.min(c) + 0.5), 0.0, n)
+            hi = jnp.clip(jnp.floor(jnp.max(c) + 0.5) + 1.0, 0.0, n)
+            return lo.astype(jnp.int32), (hi - lo).astype(jnp.int32)
+
+        l_lo, need_l = rng(ja, LB)
+        s_lo, need_s = rng(ib, SB)
+        la_lo, need_la = rng(ja_a, LA)
+        sa_lo, need_sa = rng(ib_a, SA)
+        empty = (need_l <= 0) | (need_s <= 0)
+
+        def fits(rung):
+            sw, lw, saw, law = rung
+            return ((need_s <= sw) & (need_l <= lw)
+                    & (need_sa <= saw) & (need_la <= law))
+
+        idx = jnp.where(
+            empty, 0, jnp.where(fits(LADDER[0]), 1,
+                                jnp.where(fits(LADDER[1]), 2, 3)))
+
+        def skip(_):
+            zero = jnp.zeros((Y, X), f32)
+            return zero, zero
+
+        def mk(rung):
+            sw, lw, saw, law = rung
+            if (sw, lw, saw, law) == (SB, LB, SA, LA):
+                return lambda _: _gather_vals(ja, ib, ja_a, ib_a)
+
+            def branch(_):
+                ws = jnp.minimum(s_lo, SB - sw)
+                wl = jnp.minimum(l_lo, LB - lw)
+                wsa = jnp.minimum(sa_lo, SA - saw)
+                wla = jnp.minimum(la_lo, LA - law)
+                Dw = jax.lax.dynamic_slice(D_B, (ws, wl), (sw, lw))
+                Aw = jax.lax.dynamic_slice(A_B, (wsa, wla), (saw, law))
+                dv = _matmul_gather(
+                    _nearest_matrix(sw, ib - ws.astype(f32)), Dw,
+                    _nearest_matrix(lw, ja - wl.astype(f32)), bf16)
+                av = _matmul_gather(
+                    _nearest_matrix(saw, ib_a - wsa.astype(f32)), Aw,
+                    _nearest_matrix(law, ja_a - wla.astype(f32)), bf16)
+                return dv, av
+            return branch
+
+        return jax.lax.switch(idx, [skip] + [mk(r) for r in LADDER], None)
+
     def body(carry, xs):
         tslice, wslice, coef, cc = xs
         alpha, beta, gamma = coef[0], coef[1], coef[2]
@@ -256,14 +346,10 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
         ib = ((pq_q + beta) / gsafe - b0) / db * SB - 0.5       # (Y,)
         # behind-reference-plane slices (gamma <= 0) flip orientation;
         # masks below (cam_z) make those voxels no-ops; indices are junk
-        Ecol = _nearest_matrix(LB, ja)                          # (LB, X)
-        Erow = _nearest_matrix(SB, ib)                          # (SB, Y)
-        depth_val = _matmul_gather(Erow, D_B, Ecol, bf16)
-        ra = SA / SB
-        rl = LA / LB
-        Ecol_a = _nearest_matrix(LA, (ja + 0.5) * rl - 0.5)
-        Erow_a = _nearest_matrix(SA, (ib + 0.5) * ra - 0.5)
-        assoc_val = _matmul_gather(Erow_a, A_B, Ecol_a, bf16)
+        ja_a = (ja + 0.5) * rl - 0.5
+        ib_a = (ib + 0.5) * ra - 0.5
+        gather_fn = _gather_vals_windowed if windowed else _gather_vals
+        depth_val, assoc_val = gather_fn(ja, ib, ja_a, ib_a)
 
         # exact per-voxel projection for masks / sdf
         camx = capx[0] * pv + capy[0] * qv + cc[0]
@@ -314,7 +400,8 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
                           rel_trans_oc, intr, voxel_size, truncdist,
                           max_weight, oversample: float = 1.25,
-                          bf16: bool = False, grid=None, axis: int = 2
+                          bf16: bool = False, grid=None, axis: int = 2,
+                          windowed: bool = False
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`.
 
@@ -326,6 +413,16 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
     ``axis``: static scan axis (see :func:`pick_scan_axis`); the volume is
     relabeled so this axis is the slice-scan axis, fixing the grazing-
     slice degeneracy at extreme camera pitch.
+
+    ``windowed``: per-slice B-window ladder (skip/quarter/half/full via
+    lax.switch) — numerically identical to the full path, and cuts the
+    matmul-gather MACs by the slice footprint ratio. Default OFF:
+    measured on v5e, per-slice XLA conditionals cost ~14 us each (512
+    slices -> +7 ms), more than the MAC savings buy back (26.8 ms vs
+    19.4 ms full / 13.5 ms half-grid). Kept as a documented experiment;
+    a Pallas slice kernel with in-VMEM windows is the path that pays.
+    MUST stay False when the call is vmapped (e.g. over an object
+    pool): vmap lowers switch to select, executing every rung.
     """
     tsdf = jnp.asarray(tsdf, jnp.float32)
     weights = jnp.asarray(weights, jnp.float32)
@@ -348,7 +445,7 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
         rel_rot_oc, jnp.asarray(rel_trans_oc),
         jnp.asarray(intr), jnp.float32(voxel_size),
         jnp.float32(truncdist), jnp.float32(max_weight), SB=SB, LB=LB,
-        bf16=bf16)
+        bf16=bf16, windowed=windowed)
     if axis != 2:
         t_new = jnp.transpose(t_new, AXIS_UNTRANSPOSE[axis])
         w_new = jnp.transpose(w_new, AXIS_UNTRANSPOSE[axis])

@@ -435,9 +435,12 @@ class EMFusionPipeline:
             fuse_fn = _ft.partial(integrate_tsdf_pencil,
                                   bf16=p.matmul_bf16)
             # object volumes: small static reference grid (their windows
-            # are clipped to the object footprint)
+            # are clipped to the object footprint); windowed=False —
+            # the call is vmapped over the pool and vmapped lax.switch
+            # would execute every ladder rung
             obj_fuse_fn = _ft.partial(integrate_tsdf_pencil,
-                                      bf16=p.matmul_bf16, grid=(256, 256))
+                                      bf16=p.matmul_bf16, grid=(256, 256),
+                                      windowed=False)
         else:
             fuse_fn = integrate_tsdf
             obj_fuse_fn = integrate_tsdf

@@ -23,7 +23,7 @@ def main():
 
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
 
-    R = 512
+    R = int(os.environ.get("EMF_PROBE_RES", 512))
     voxel = 5.12 / R
     trunc = 10 * voxel
     g = (np.arange(R) - (R - 1) / 2.0) * voxel
@@ -52,7 +52,8 @@ def main():
     assoc = jnp.asarray(hit.astype(np.float32).reshape(-1))
 
     rel0 = np.eye(4, dtype=np.float32)
-    rel0[2, 3] = -oz  # camera-to-object: translate +2.2 in z
+    # camera sits at volume z=oz looking toward +z: p_vol = p_cam + (0,0,oz)
+    rel0[2, 3] = oz
     # perturb the initial pose
     rel_init = rel0.copy()
     rel_init[0, 3] += 0.03
@@ -60,20 +61,23 @@ def main():
     rel_init[2, 3] += 0.025
 
     cfg = TrackConfig(max_iter=100)
-    fn = jax.jit(lambda rp: track_volume(tsdf, weights, voxel, pts,
-                                         assoc, rp, cfg))
+    # volumes/points must be jit ARGUMENTS: closed-over arrays embed as
+    # HLO constants and the 512^3 upload blows the remote-compile body
+    # limit (HTTP 413) on the axon relay
+    fn = jax.jit(lambda ts, ws, pp, aa, rp: track_volume(
+        ts, ws, voxel, pp, aa, rp, cfg))
     t0 = time.perf_counter()
-    pose, stats = fn(jnp.asarray(rel_init))
+    pose, stats = fn(tsdf, weights, pts, assoc, jnp.asarray(rel_init))
     err0 = np.linalg.norm(np.asarray(pose)[:3, 3] - rel0[:3, 3])
     print(f"compile+run: {time.perf_counter() - t0:.1f}s, "
           f"iters={int(stats['iterations'])}, |dt| err={err0 * 1000:.2f} mm",
           flush=True)
     for _ in range(2):
         t0 = time.perf_counter()
-        pose, stats = fn(jnp.asarray(rel_init))
+        pose, stats = fn(tsdf, weights, pts, assoc, jnp.asarray(rel_init))
         np.asarray(pose)
         dt = time.perf_counter() - t0
-        print(f"track_volume 512^3, N={pts.shape[1]}: {dt * 1e3:.1f} ms "
+        print(f"track_volume {R}^3, N={pts.shape[1]}: {dt * 1e3:.1f} ms "
               f"({int(stats['iterations'])} iters, "
               f"{dt * 1e3 / max(int(stats['iterations']), 1):.2f} ms/iter)",
               flush=True)

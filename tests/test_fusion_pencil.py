@@ -144,3 +144,24 @@ def test_pencil_scan_axis_y(rng):
     dt = np.abs(np.asarray(t_pen) - np.asarray(t_ref))
     assert (dt > 0.05).mean() < 0.015
     assert np.median(dt) < 1e-3
+
+
+@pytest.mark.parametrize("axis,deg,tz", [
+    ("z", 0, 1.2), ("x", 20, 1.3), ("z", 90, 1.5),
+    # camera inside the volume: some slices behind it (skip rung)
+    ("z", 10, 0.3),
+])
+def test_windowed_matches_full(rng, axis, deg, tz):
+    """The per-slice B-window ladder must be numerically identical to the
+    full-grid matmul gather (same one-hot selections, same values)."""
+    tsdf, w, depth, assoc, intr, voxel, trunc = _setup(rng)
+    rot = jnp.asarray(_rot(axis, deg))
+    tr = jnp.asarray(np.array([0.02, -0.03, tz], np.float32))
+    t_full, w_full = integrate_tsdf_pencil(tsdf, w, depth, assoc, rot, tr,
+                                           intr, voxel, trunc, 64.0,
+                                           windowed=False)
+    t_win, w_win = integrate_tsdf_pencil(tsdf, w, depth, assoc, rot, tr,
+                                         intr, voxel, trunc, 64.0,
+                                         windowed=True)
+    np.testing.assert_array_equal(np.asarray(t_win), np.asarray(t_full))
+    np.testing.assert_array_equal(np.asarray(w_win), np.asarray(w_full))
