@@ -17,8 +17,44 @@ at object-frame position ``(i - (res-1)/2) * voxel_size``.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# Gather strategy for the trilinear samplers. XLA:TPU lowers an arbitrary
+# gather to a scalar loop (~0.1 G elem/s measured on v5e). The "rows"
+# backend expresses the X-contiguous trilerp corners as (1,1,L) row
+# gathers (8-corner -> 4 rows, 27-corner -> 9 rows + lane one-hot);
+# measured on v5e it is ~13% SLOWER (20.7 vs 18.3 ms/LM-iter at 512^3):
+# the gather loop costs per ELEMENT, not per row, so fewer-but-wider
+# gathers do not help. Kept selectable (EMF_GATHER=rows) as the recorded
+# negative result; default remains the scalar-take formulation.
+_GATHER_BACKEND = os.environ.get("EMF_GATHER", "scalar")
+
+
+def _row_gather(vol: jnp.ndarray, zi, yi, xs, L: int) -> jnp.ndarray:
+    """Gather length-``L`` X-contiguous rows at integer starts.
+
+    ``vol`` is (Z, Y, X) or channel-first (C, Z, Y, X); ``zi``/``yi`` are
+    exact (already clipped) voxel indices, ``xs`` a row start with
+    ``xs + L <= X`` guaranteed by the caller. All index arrays are flat
+    (N,). Returns (N, L) or (N, C, L).
+    """
+    starts = jnp.stack([zi, yi, xs], axis=-1)
+    if vol.ndim == 3:
+        dn = lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0, 1),
+            start_index_map=(0, 1, 2))
+        return lax.gather(vol, starts, dn, slice_sizes=(1, 1, L),
+                          mode="clip")
+    C = vol.shape[0]
+    dn = lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(1, 2),
+        start_index_map=(1, 2, 3))
+    return lax.gather(vol, starts, dn, slice_sizes=(C, 1, 1, L),
+                      mode="clip")
 
 
 def grid_to_world(idx_xyz: jnp.ndarray, res_xyz, voxel_size) -> jnp.ndarray:
@@ -64,30 +100,53 @@ def trilinear_sample_channels(vol: jnp.ndarray, vx, vy, vz,
     y0c = jnp.clip(y0, 0, Y - 2)
     z0c = jnp.clip(z0, 0, Z - 2)
 
-    flat = vol.reshape(C, -1)
-    base = (z0c * Y + y0c) * X + x0c
+    if _GATHER_BACKEND == "rows":
+        shp = x0c.shape
+        z0f = z0c.reshape(-1)
+        y0f = y0c.reshape(-1)
+        x0f = x0c.reshape(-1)
+        fxf = fx.reshape(-1)[:, None]  # (N, 1) broadcasts over C
 
-    def corner(dz, dy, dx):
-        idx = base + (dz * Y + dy) * X + dx
-        # gather along the flat voxel axis for each channel
-        return jnp.take(flat, idx, axis=1)
+        def cpair(dz, dy):
+            # (N, C, 2) row of the two X-contiguous corners, lerped over X
+            row = _row_gather(vol, z0f + dz, y0f + dy, x0f, 2)
+            return row[..., 0] * (1 - fxf) + row[..., 1] * fxf
 
-    c000 = corner(0, 0, 0)
-    c001 = corner(0, 0, 1)
-    c010 = corner(0, 1, 0)
-    c011 = corner(0, 1, 1)
-    c100 = corner(1, 0, 0)
-    c101 = corner(1, 0, 1)
-    c110 = corner(1, 1, 0)
-    c111 = corner(1, 1, 1)
+        c00 = cpair(0, 0)
+        c01 = cpair(0, 1)
+        c10 = cpair(1, 0)
+        c11 = cpair(1, 1)
+        fyf = fy.reshape(-1)[:, None]
+        fzf = fz.reshape(-1)[:, None]
+        c0 = c00 * (1 - fyf) + c01 * fyf
+        c1 = c10 * (1 - fyf) + c11 * fyf
+        out = (c0 * (1 - fzf) + c1 * fzf)          # (N, C)
+        out = jnp.moveaxis(out, -1, 0).reshape((C,) + shp)
+    else:
+        flat = vol.reshape(C, -1)
+        base = (z0c * Y + y0c) * X + x0c
 
-    c00 = c000 * (1 - fx) + c001 * fx
-    c01 = c010 * (1 - fx) + c011 * fx
-    c10 = c100 * (1 - fx) + c101 * fx
-    c11 = c110 * (1 - fx) + c111 * fx
-    c0 = c00 * (1 - fy) + c01 * fy
-    c1 = c10 * (1 - fy) + c11 * fy
-    out = c0 * (1 - fz) + c1 * fz
+        def corner(dz, dy, dx):
+            idx = base + (dz * Y + dy) * X + dx
+            # gather along the flat voxel axis for each channel
+            return jnp.take(flat, idx, axis=1)
+
+        c000 = corner(0, 0, 0)
+        c001 = corner(0, 0, 1)
+        c010 = corner(0, 1, 0)
+        c011 = corner(0, 1, 1)
+        c100 = corner(1, 0, 0)
+        c101 = corner(1, 0, 1)
+        c110 = corner(1, 1, 0)
+        c111 = corner(1, 1, 1)
+
+        c00 = c000 * (1 - fx) + c001 * fx
+        c01 = c010 * (1 - fx) + c011 * fx
+        c10 = c100 * (1 - fx) + c101 * fx
+        c11 = c110 * (1 - fx) + c111 * fx
+        c0 = c00 * (1 - fy) + c01 * fy
+        c1 = c10 * (1 - fy) + c11 * fy
+        out = c0 * (1 - fz) + c1 * fz
 
     if valid is not None:
         out = jnp.where(valid[None], out, 0.0)
@@ -139,14 +198,36 @@ def sample_system_at_points(vol: jnp.ndarray, points_cam: jnp.ndarray,
     fy = vy - y0
     fz = vz - z0
 
-    flat = vol.reshape(-1)
-    xi = [jnp.clip(x0 + d, 0, X - 1) for d in range(3)]
     yi = [jnp.clip(y0 + d, 0, Y - 1) for d in range(3)]
     zi = [jnp.clip(z0 + d, 0, Z - 1) for d in range(3)]
 
-    # 27-corner cube c[dz][dy][dx]
-    c = [[[jnp.take(flat, (zi[dz] * Y + yi[dy]) * X + xi[dx])
-           for dx in range(3)] for dy in range(3)] for dz in range(3)]
+    if _GATHER_BACKEND == "rows" and X >= 4:
+        # 9 gathers of (1,1,4) X-rows instead of 27 scalar takes. Row
+        # start sx = clip(x0, 0, X-4) and lane bx_d = clip(x0+d-sx, 0, 3)
+        # reproduce clip(x0+d, 0, X-1) exactly: for x0 in [0, X-4] the
+        # window covers x0..x0+3; for x0 > X-4 both reduce to
+        # min(x0+d, X-1); for x0 < 0 both reduce to max(x0+d, 0) (d<=2
+        # keeps x0+d < 3). Lane extraction is a 4-wide one-hot dot (VPU).
+        shp = x0.shape
+        x0f = x0.reshape(-1)
+        sx = jnp.clip(x0f, 0, X - 4)
+        lane = [(jnp.clip(x0f + d - sx, 0, 3)[:, None]
+                 == jnp.arange(4)[None]).astype(vol.dtype) for d in range(3)]
+
+        def crow(dz, dy):
+            row = _row_gather(vol, zi[dz].reshape(-1), yi[dy].reshape(-1),
+                              sx, 4)                        # (N, 4)
+            return [jnp.sum(row * lane[d], axis=-1).reshape(shp)
+                    for d in range(3)]
+
+        c = [[crow(dz, dy) for dy in range(3)] for dz in range(3)]
+    else:
+        flat = vol.reshape(-1)
+        xi = [jnp.clip(x0 + d, 0, X - 1) for d in range(3)]
+
+        # 27-corner cube c[dz][dy][dx]
+        c = [[[jnp.take(flat, (zi[dz] * Y + yi[dy]) * X + xi[dx])
+               for dx in range(3)] for dy in range(3)] for dz in range(3)]
 
     def trilerp(oz, oy, ox):
         def lx(dy, dz):

@@ -146,3 +146,38 @@ def test_sample_system_matches_composed_path(rng):
     np.testing.assert_allclose(np.asarray(psi), np.asarray(psi_ref),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g_ref), atol=1e-4)
+
+
+def test_row_gather_backend_matches_scalar():
+    """The rows gather backend (9x (1,1,4) X-rows / 4x (1,1,2) pairs)
+    must reproduce the scalar-take backend bit-for-bit, including
+    boundary bands, out-of-volume and z<=0 points."""
+    from emfusion_tpu.geometry import sampling
+
+    rng2 = np.random.RandomState(7)
+    vol = jnp.asarray(rng2.randn(8, 9, 10).astype(np.float32))
+    cvol = jnp.asarray(rng2.randn(3, 8, 9, 10).astype(np.float32))
+    pts = rng2.uniform(-1.0, 1.0, size=(3, 500)).astype(np.float32)
+    pts[2] = rng2.uniform(-0.3, 1.5, size=500)
+    pts = jnp.asarray(pts)
+    R = jnp.eye(3, dtype=jnp.float32)
+    t = jnp.asarray(np.array([0.02, -0.01, 0.35], np.float32))
+    vs = 0.08
+
+    orig = sampling._GATHER_BACKEND
+    try:
+        outs = {}
+        for backend in ("scalar", "rows"):
+            sampling._GATHER_BACKEND = backend
+            psi, g3 = sampling.sample_system_at_points(vol, pts, R, t, vs)
+            val = sampling.sample_volume_at_points(vol, pts, R, t, vs,
+                                                   margin=1)
+            cval = sampling.sample_volume_at_points(cvol, pts, R, t, vs,
+                                                    margin=1)
+            outs[backend] = (np.asarray(psi), np.asarray(g3),
+                             np.asarray(val), np.asarray(cval))
+    finally:
+        sampling._GATHER_BACKEND = orig
+
+    for a, b in zip(outs["scalar"], outs["rows"]):
+        np.testing.assert_allclose(a, b, atol=1e-6)
