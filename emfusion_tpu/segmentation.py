@@ -145,11 +145,22 @@ class TorchScriptMaskProvider(MaskProvider):
     local path (this environment has no network egress, so weights must
     be provided by the user).
 
-    Module contract: ``model(image_u8 (H, W, 3) uint8) ->
-    (boxes (N, 4) f32, masks (N, H, W) f32/bool, scores (N, C) f32)``
-    with C == NUM_CLASSES (81) or C == 1 + a separate label tensor is
-    not supported — emit full class-score rows like the reference's
-    re-derived distributions (``apps/maskrcnn.in.py:209-255``).
+    Accepted module output shapes (auto-detected per call):
+
+      * ``(boxes (N,4), masks (N,H,W), scores (N,C))`` — per-class score
+        rows. C == 81 passes through; C == 91/92 (torchvision COCO
+        category layout) or logits are re-derived into full 81-class
+        rows (``detector_post.scores_from_logits``; reference semantics
+        ``apps/maskrcnn.in.py:209-255``).
+      * ``(boxes (N,4), masks (N,H,W), labels (N,), scores (N,))`` —
+        torchvision ``maskrcnn_resnet50_fpn``-style outputs; full rows
+        built via ``detector_post.scores_from_labels`` (91 -> 81 id
+        remap, leftover mass on background).
+      * a dict with keys ``boxes``, ``masks``, ``labels``, ``scores``
+        (torchvision's native output dict).
+
+    Detections then pass through the reference's confidence and
+    50x50-pixel mask filters.
     """
 
     def __init__(self, model_path: str, score_thresh: float = 0.7,
@@ -167,22 +178,40 @@ class TorchScriptMaskProvider(MaskProvider):
         torch = self._torch
         with torch.no_grad():
             img = torch.from_numpy(np.ascontiguousarray(rgb))
-            boxes, masks, scores = self.model(img)
-        boxes = boxes.cpu().numpy()
-        masks = masks.cpu().numpy()
-        scores = scores.cpu().numpy()
+            out = self.model(img)
+        return self._parse(out)
+
+    def _parse(self, out):
+        from emfusion_tpu.detector_post import (
+            scores_from_labels, scores_from_logits)
+
+        def npy(t):
+            return t.detach().cpu().numpy() if hasattr(t, "detach") \
+                else np.asarray(t)
+
+        if isinstance(out, dict):
+            boxes = npy(out["boxes"])
+            masks = npy(out["masks"])
+            rows = scores_from_labels(npy(out["labels"]),
+                                      npy(out["scores"]))
+        elif len(out) == 4:
+            boxes, masks = npy(out[0]), npy(out[1])
+            rows = scores_from_labels(npy(out[2]), npy(out[3]))
+        else:
+            boxes, masks = npy(out[0]), npy(out[1])
+            rows = scores_from_logits(npy(out[2]))
+        if masks.ndim == 4:          # torchvision (N, 1, H, W)
+            masks = masks[:, 0]
         dets = []
         for i in range(len(masks)):
-            s = scores[i]
-            if s.shape[-1] != NUM_CLASSES:
-                full = np.zeros(NUM_CLASSES)
-                full[: s.shape[-1]] = s
-                s = full
+            s = rows[i]
             if float(np.max(s[1:])) < self.score_thresh:
                 continue
+            mask = np.asarray(masks[i]) > self.mask_thresh
+            if np.count_nonzero(mask) < 50 * 50:
+                continue            # filter_fusion, maskrcnn.in.py:177-186
             dets.append(Detection(
-                mask=np.asarray(masks[i]) > self.mask_thresh,
-                scores=np.asarray(s, np.float64),
+                mask=mask, scores=np.asarray(s, np.float64),
                 box=np.asarray(boxes[i]) if i < len(boxes) else None))
         return dets
 
