@@ -52,12 +52,23 @@ def _pose_from_quat(tx, ty, tz, qx, qy, qz, qw) -> np.ndarray:
 
 def associate(est: Dict[float, np.ndarray], gt: Dict[float, np.ndarray],
               max_difference: float = 0.02):
-    """Greedy timestamp association (TUM associate.py semantics)."""
+    """Greedy timestamp association (TUM associate.py semantics).
+
+    Same greedy-min-difference result as enumerating all stamp pairs, but
+    candidates are restricted to each estimate stamp's tolerance window
+    via binary search — O(N log N + C log C) instead of O(N^2) pairs
+    (~6M tuples for a 2.5k-frame TUM sequence)."""
     est_keys = sorted(est.keys())
-    gt_keys = sorted(gt.keys())
-    candidates = sorted(
-        (abs(a - b), a, b) for a in est_keys for b in gt_keys
-        if abs(a - b) < max_difference)
+    gt_arr = np.asarray(sorted(gt.keys()), dtype=np.float64)
+    candidates = []
+    for a in est_keys:
+        lo = np.searchsorted(gt_arr, a - max_difference, side="left")
+        hi = np.searchsorted(gt_arr, a + max_difference, side="right")
+        for b in gt_arr[lo:hi]:
+            b = float(b)
+            if abs(a - b) < max_difference:
+                candidates.append((abs(a - b), a, b))
+    candidates.sort()
     used_a, used_b, pairs = set(), set(), []
     for diff, a, b in candidates:
         if a not in used_a and b not in used_b:

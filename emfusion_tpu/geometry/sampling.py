@@ -31,6 +31,10 @@ from jax import lax
 # the gather loop costs per ELEMENT, not per row, so fewer-but-wider
 # gathers do not help. Kept selectable (EMF_GATHER=rows) as the recorded
 # negative result; default remains the scalar-take formulation.
+#
+# NOTE: the env var is read at import time; set it before importing
+# emfusion_tpu (tests that need to switch after import assign
+# ``sampling._GATHER_BACKEND`` directly).
 _GATHER_BACKEND = os.environ.get("EMF_GATHER", "scalar")
 
 
@@ -100,7 +104,9 @@ def trilinear_sample_channels(vol: jnp.ndarray, vx, vy, vz,
     y0c = jnp.clip(y0, 0, Y - 2)
     z0c = jnp.clip(z0, 0, Z - 2)
 
-    if _GATHER_BACKEND == "rows":
+    if _GATHER_BACKEND == "rows" and X >= 2:
+        # X >= 2 guard: the (.,1,1,2) row gather needs two lanes; degenerate
+        # volumes fall through to the scalar-take path (which clips).
         shp = x0c.shape
         z0f = z0c.reshape(-1)
         y0f = y0c.reshape(-1)

@@ -89,8 +89,8 @@ class PipelineState:
 @dataclasses.dataclass
 class ObjectMeta:
     """Host-side per-object bookkeeping (reference ``ObjTSDF`` counters)."""
-    ex_count: int = 1        # updateExProb(true) at creation? reference
-    nonex_count: int = 0     # starts exCount=1/nonEx=0 via first match
+    ex_count: int = 0        # ObjTSDF.h:209-210: both start at 0; the
+    nonex_count: int = 0     # creation frame's match loop raises ex to 1
     class_probs: Optional[np.ndarray] = None
     pose_offsets: Dict[int, np.ndarray] = dataclasses.field(
         default_factory=dict)
@@ -635,6 +635,36 @@ class EMFusionPipeline:
 
         self._resample_slot = jax.jit(resample_slot)
 
+        def cleanup_stats(state: PipelineState, obj_masks, match_masks,
+                          have_match):
+            """Per-slot association stats for cleanUpObjs
+            (EMFusion.cpp:936-949) computed on device: mask = raycast
+            object mask OR (matched segmentation mask, when present);
+            returns (pixel count, sum of this object's association weight
+            over the mask) per slot — only 2K scalars leave the device."""
+            o = state.objs
+
+            def one(own, match, hm, a):
+                m = own | (match & hm)
+                return jnp.sum(m), jnp.sum(jnp.where(m, a, 0.0))
+
+            cnt, asum = jax.vmap(one)(obj_masks, match_masks, have_match,
+                                      o.assoc)
+            return cnt, asum
+
+        def cleanup_stats_nomatch(state: PipelineState, obj_masks):
+            """Common-case variant (no matched segmentation this frame):
+            avoids uploading a (K, H, W) zero mask array per frame."""
+            o = state.objs
+
+            def one(own, a):
+                return jnp.sum(own), jnp.sum(jnp.where(own, a, 0.0))
+
+            return jax.vmap(one)(obj_masks, o.assoc)
+
+        self._cleanup_stats = jax.jit(cleanup_stats)
+        self._cleanup_stats_nomatch = jax.jit(cleanup_stats_nomatch)
+
     # ------------------------------------------------------------------
     # host-side frame processing
     # ------------------------------------------------------------------
@@ -705,7 +735,8 @@ class EMFusionPipeline:
                 self.outputs["obj_assoc_post"][self.frame] = {
                     int(ids[k]): post_o[k] for k in range(self.K) if act[k]}
 
-        self._store_poses()
+        with self.timer.phase("store_poses"):
+            self._store_poses()
 
         matches: Dict[int, np.ndarray] = {}
         num_instances = -1
@@ -725,7 +756,8 @@ class EMFusionPipeline:
             with self.timer.phase("integrate_masks"):
                 self._apply_mask_integration(matches, rc)
 
-        self._clean_up_objs(num_instances, matches, rc)
+        with self.timer.phase("cleanup"):
+            self._clean_up_objs(num_instances, matches, rc)
 
         self.frame += 1
 
@@ -844,9 +876,9 @@ class EMFusionPipeline:
                     masks[i][:] = False
             mask = valid_points & masks[i]
             new_id = self._init_new_obj_volume(mask, pts_w, cam)
-            matches[new_id] = masks[i]
-            score_matches[new_id] = dets[i].scores
             if new_id >= 0:
+                matches[new_id] = masks[i]
+                score_matches[new_id] = dets[i].scores
                 # refresh host views after spawn
                 ids = np.asarray(self.state.objs.object_id)
                 active = np.asarray(self.state.objs.active)
@@ -904,7 +936,10 @@ class EMFusionPipeline:
 
         slot = int(np.argmin(active))  # first free slot
         if active[slot]:
-            return -1  # pool full
+            logger.warning("frame %d: object pool full (%d slots) — "
+                           "refusing to spawn a new object", self.frame,
+                           self.K)
+            return -1
         voxel = vol_size / self.obj_res
         trunc = p.objRelTruncDist * voxel
         pose = _translate(center.astype(np.float32))
@@ -927,7 +962,10 @@ class EMFusionPipeline:
             assoc=o.assoc.at[slot].set(1.0),   # createObj: assoc=1
         )
         self.state = self.state.replace(objs=o)
-        self.meta[new_id] = ObjectMeta(ex_count=1, nonex_count=0)
+        # exCount starts at 0 (ObjTSDF.h:209-210); the creation frame's
+        # match loop then applies updateExProb(true) -> 1
+        # (EMFusion.cpp:359-365: new objects are in `matches`)
+        self.meta[new_id] = ObjectMeta(ex_count=0, nonex_count=0)
         self.obj_poses.setdefault(new_id, {})[self.frame] = pose
         # reference: "Created new object" (EMFusion.cpp:555)
         logger.info("frame %d: created object %d (slot %d, voxel %.4f m, "
@@ -1055,9 +1093,6 @@ class EMFusionPipeline:
         ids = np.asarray(o.object_id)
         active = np.asarray(o.active)
         visible = np.asarray(o.visible)
-        assoc = np.asarray(o.assoc)
-        own_masks = np.asarray(rc["obj_masks"]) if rc is not None else \
-            np.zeros((self.K, self.H, self.W), bool)
 
         spurious = set()
         if num_instances > 0:
@@ -1072,19 +1107,31 @@ class EMFusionPipeline:
                         "-> delete", self.frame, oid,
                         self.meta[oid].ex_prob, p.existenceThresh)
 
-        for k in range(self.K):
-            if not (active[k] and visible[k]):
-                continue
-            oid = int(ids[k])
-            m = own_masks[k].copy()
-            if oid in matches:
-                m |= matches[oid]
-            cnt = np.count_nonzero(m)
-            if p.assocThresh * cnt > float(assoc[k][m].sum()):
-                spurious.add(oid)
-                # "tracking likely failed" (EMFusion.cpp:936-949)
-                logger.info("frame %d: object %d association below "
-                            "threshold -> delete", self.frame, oid)
+        check = [k for k in range(self.K) if active[k] and visible[k]]
+        if check and rc is not None:
+            any_match = any(int(ids[k]) in matches for k in check)
+            if any_match:
+                match_masks = np.zeros((self.K, self.H, self.W), bool)
+                have_match = np.zeros((self.K,), bool)
+                for k in check:
+                    oid = int(ids[k])
+                    if oid in matches:
+                        match_masks[k] = matches[oid]
+                        have_match[k] = True
+                cnt, asum = self._cleanup_stats(
+                    self.state, rc["obj_masks"], jnp.asarray(match_masks),
+                    jnp.asarray(have_match))
+            else:
+                cnt, asum = self._cleanup_stats_nomatch(
+                    self.state, rc["obj_masks"])
+            cnt, asum = np.asarray(cnt), np.asarray(asum)
+            for k in check:
+                oid = int(ids[k])
+                if p.assocThresh * float(cnt[k]) > float(asum[k]):
+                    spurious.add(oid)
+                    # "tracking likely failed" (EMFusion.cpp:936-949)
+                    logger.info("frame %d: object %d association below "
+                                "threshold -> delete", self.frame, oid)
 
         delete_slots = []
         for k in range(self.K):

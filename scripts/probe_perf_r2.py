@@ -8,7 +8,9 @@ timing here fences with a host value fetch. Measures:
   4. warp_to_grid (pencil stage 0) alone
   5. full pencil fusion step breakdown (f32 vs bf16, full vs half grid)
 """
+import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
