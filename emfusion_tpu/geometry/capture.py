@@ -1,0 +1,172 @@
+"""Per-point neighborhood capture + algebraic (tent-product) resampling.
+
+TPU-native redesign of the LM tracking sampler. The reference samples
+the TSDF/weight volumes afresh every LM iteration
+(``kernel_getVolumeVals`` / ``kernel_computePoseGradients``,
+``src/core/cuda/TSDF.cu:603-726``) — free on a GPU with hardware
+gather, but on TPU XLA lowers arbitrary gathers to a scalar loop
+(~0.1-0.7 G elem/s measured on v5e), making the per-iteration 27-corner
+gather the dominant per-frame cost.
+
+Redesign: gather each tracking point's **6x6x6 voxel neighborhood once**
+(the only gather), then evaluate every LM iteration's trilinear samples
+*algebraically* from the cache with separable tent (hat) weights:
+
+    trilerp(vol, v) == sum_d cache[d] * tent(v_local - d),
+    tent(t) = max(0, 1 - |t|)
+
+which is exact whenever ``v_local`` stays inside the cached window —
+pure VPU work (~a few hundred FMA/point/iteration), no gather. The LM
+pose drifts during iterations; a cheap arithmetic *drift check* detects
+any relevant point leaving its window and triggers a re-capture (the
+anchors re-center at the current pose). The 6^3 window gives -2/+1
+voxels of drift margin for the gradient (system) samples and -2/+2 for
+value samples around the capture pose.
+
+Layout: caches are ``(C, 6, 6, 6, N)`` — points on the minor (lane)
+axis, window dims on sublanes (6 -> 8 padding only).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from emfusion_tpu.geometry.sampling import _transform_to_grid
+
+WIN = 6          # cached window size per axis
+_ANCHOR_OFF = 2  # anchor = floor(v) - _ANCHOR_OFF -> v_local in [2, 3)
+
+
+def capture_neighborhoods(vols: jnp.ndarray, points_cam: jnp.ndarray,
+                          rel_rot: jnp.ndarray, rel_trans: jnp.ndarray,
+                          voxel_size):
+    """Gather the WIN^3 neighborhood of every point at the given pose.
+
+    Args:
+      vols: stacked channel-first volumes (C, Z, Y, X) — e.g.
+        ``[tsdf, weights]`` (+ fg-prob for object volumes).
+      points_cam: (3, N) camera-space points.
+
+    Returns ``(cache, anchor)`` with ``cache`` (C, WIN, WIN, WIN, N)
+    f32 and ``anchor`` (3, N) int32 (x, y, z minimum corner indices,
+    *unclipped*; cell gathers clip to the volume like the direct
+    samplers, so cached values equal what the gather path would read
+    for any pose whose coords stay in-window).
+    """
+    C, Z, Y, X = vols.shape
+    vx, vy, vz, _ = _transform_to_grid(points_cam, rel_rot, rel_trans,
+                                       voxel_size, (Z, Y, X))
+    ax = jnp.floor(vx).astype(jnp.int32) - _ANCHOR_OFF
+    ay = jnp.floor(vy).astype(jnp.int32) - _ANCHOR_OFF
+    az = jnp.floor(vz).astype(jnp.int32) - _ANCHOR_OFF
+
+    d = jnp.arange(WIN, dtype=jnp.int32)
+    zc = jnp.clip(az[None, :] + d[:, None], 0, Z - 1)      # (W, N)
+    yc = jnp.clip(ay[None, :] + d[:, None], 0, Y - 1)
+    xc = jnp.clip(ax[None, :] + d[:, None], 0, X - 1)
+    flat = ((zc[:, None, None, :] * Y + yc[None, :, None, :]) * X
+            + xc[None, None, :, :])                        # (W, W, W, N)
+    flat = flat.reshape(-1)
+    cache = jnp.stack(
+        [jnp.take(vols[c].reshape(-1), flat) for c in range(C)])
+    N = points_cam.shape[1]
+    return cache.reshape(C, WIN, WIN, WIN, N), jnp.stack([ax, ay, az])
+
+
+def _tents(vl: jnp.ndarray) -> jnp.ndarray:
+    """(WIN, N) hat-function weights: tent(vl - d)."""
+    d = jnp.arange(WIN, dtype=jnp.float32)[:, None]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(vl[None, :] - d))
+
+
+def _local_coords(anchor, points_cam, rel_rot, rel_trans, voxel_size,
+                  shape):
+    Z, Y, X = shape
+    vx, vy, vz, pz = _transform_to_grid(points_cam, rel_rot, rel_trans,
+                                        voxel_size, (Z, Y, X))
+    lx = vx - anchor[0].astype(jnp.float32)
+    ly = vy - anchor[1].astype(jnp.float32)
+    lz = vz - anchor[2].astype(jnp.float32)
+    return (vx, vy, vz, pz), (lx, ly, lz)
+
+
+def drift_ok(anchor, points_cam, rel_rot, rel_trans, voxel_size, shape):
+    """True iff every *relevant* point's local coords allow both value
+    and (+1-shifted) system sampling from the cache: vl in [0, WIN-2]
+    per axis. Relevant = in front of the camera and within one voxel of
+    the volume (points far outside never contribute — masked to zero by
+    the samplers' validity — and must not force re-captures)."""
+    Z, Y, X = shape
+    (vx, vy, vz, pz), (lx, ly, lz) = _local_coords(
+        anchor, points_cam, rel_rot, rel_trans, voxel_size, shape)
+    rel = (pz > 0) & (vx >= -1) & (vy >= -1) & (vz >= -1) \
+        & (vx < X) & (vy < Y) & (vz < Z)
+    hi = WIN - 2.0
+    bad = (lx < 0) | (lx > hi) | (ly < 0) | (ly > hi) \
+        | (lz < 0) | (lz > hi)
+    return ~jnp.any(rel & bad)
+
+
+def sample_value_from_cache(cache: jnp.ndarray, anchor, points_cam,
+                            rel_rot, rel_trans, voxel_size, shape,
+                            margin: int = 1) -> jnp.ndarray:
+    """Cache equivalent of ``sample_volume_at_points`` (same validity
+    semantics). ``cache`` (C, W, W, W, N) -> (C, N)."""
+    Z, Y, X = shape
+    (vx, vy, vz, pz), (lx, ly, lz) = _local_coords(
+        anchor, points_cam, rel_rot, rel_trans, voxel_size, shape)
+    valid = (pz > 0) & (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0) \
+        & (vx + margin < X) & (vy + margin < Y) & (vz + margin < Z)
+    tx = _tents(lx)
+    ty = _tents(ly)
+    tz = _tents(lz)
+    cx = jnp.sum(cache * tx[None, None, None], axis=3)      # (C,W,W,N)
+    cy = jnp.sum(cx * ty[None, None], axis=2)               # (C,W,N)
+    out = jnp.sum(cy * tz[None], axis=1)                    # (C,N)
+    return jnp.where(valid[None], out, 0.0)
+
+
+def sample_system_from_cache(cache_t: jnp.ndarray, anchor, points_cam,
+                             rel_rot, rel_trans, voxel_size, shape):
+    """Cache equivalent of ``sample_system_at_points``: residual psi
+    (margin-1 validity) and finite-difference gradient (margin-2, with
+    the per-shift validity of the direct sampler). ``cache_t`` is the
+    TSDF channel (W, W, W, N). Returns (psi, g3)."""
+    Z, Y, X = shape
+    (vx, vy, vz, pz), (lx, ly, lz) = _local_coords(
+        anchor, points_cam, rel_rot, rel_trans, voxel_size, shape)
+
+    tx, tx1 = _tents(lx), _tents(lx + 1.0)
+    ty, ty1 = _tents(ly), _tents(ly + 1.0)
+    tz, tz1 = _tents(lz), _tents(lz + 1.0)
+
+    cx = jnp.sum(cache_t * tx[None, None], axis=2)          # (W, W, N)
+    cx1 = jnp.sum(cache_t * tx1[None, None], axis=2)
+    cy = jnp.sum(cx * ty[None], axis=1)                     # (W, N)
+    cy1 = jnp.sum(cx * ty1[None], axis=1)
+    cy_x1 = jnp.sum(cx1 * ty[None], axis=1)
+
+    base_val = jnp.sum(cy * tz, axis=0)                     # (N,)
+    sx = jnp.sum(cy_x1 * tz, axis=0)
+    sy = jnp.sum(cy1 * tz, axis=0)
+    sz = jnp.sum(cy * tz1, axis=0)
+
+    inside = (pz > 0) & (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0)
+    valid1 = inside & (vx + 1 < X) & (vy + 1 < Y) & (vz + 1 < Z)
+    valid2 = inside & (vx + 2 < X) & (vy + 2 < Y) & (vz + 2 < Z)
+    psi = jnp.where(valid1, base_val, 0.0)
+    base = jnp.where(valid2, base_val, 0.0)
+
+    def vld(ex, ey, ez):
+        return ((pz > 0)
+                & (vx + ex >= 0.0) & (vy + ey >= 0.0) & (vz + ez >= 0.0)
+                & (vx + ex + 2 < X) & (vy + ey + 2 < Y)
+                & (vz + ez + 2 < Z))
+
+    sx = jnp.where(vld(1, 0, 0), sx, 0.0)
+    sy = jnp.where(vld(0, 1, 0), sy, 0.0)
+    sz = jnp.where(vld(0, 0, 1), sz, 0.0)
+    g3 = jnp.stack([sx - base, sy - base, sz - base], axis=0) / voxel_size
+    return psi, g3

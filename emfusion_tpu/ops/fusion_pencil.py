@@ -204,6 +204,31 @@ def _rup(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def warp_image_to_grid(img, Bmat, H: int, W: int, a0, b0, da, db,
+                       nS: int, nL: int):
+    """Stage-1 pencil warp: resample ``img`` (H, W) onto the (nS, nL)
+    reference-plane grid spanning [a0, a0+da) x [b0, b0+db) in B coords —
+    the one amortized XLA gather of the pencil factorization. Shared by
+    the jnp scan path and the Pallas slice kernel."""
+    f32 = jnp.float32
+    jj = (jnp.arange(nL, dtype=f32) + 0.5) / nL * da + a0
+    ii = (jnp.arange(nS, dtype=f32) + 0.5) / nS * db + b0
+    ag = jnp.broadcast_to(jj[None, :], (nS, nL))
+    bg = jnp.broadcast_to(ii[:, None], (nS, nL))
+    hom_u = Bmat[0, 0] * ag + Bmat[0, 1] * bg + Bmat[0, 2]
+    hom_w = Bmat[1, 0] * ag + Bmat[1, 1] * bg + Bmat[1, 2]
+    hom_z = Bmat[2, 0] * ag + Bmat[2, 1] * bg + Bmat[2, 2]
+    zsafe = jnp.where(jnp.abs(hom_z) < 1e-12, 1e-12, hom_z)
+    ug = hom_u / zsafe
+    wg = hom_w / zsafe
+    pu = jnp.clip(jnp.floor(ug + 0.5), 0, W - 1).astype(jnp.int32)
+    pw = jnp.clip(jnp.floor(wg + 0.5), 0, H - 1).astype(jnp.int32)
+    inb = (ug > -0.5) & (ug < W - 0.5) & (wg > -0.5) \
+        & (wg < H - 0.5) & (hom_z > 0)
+    flat = pw * W + pu
+    return jnp.where(inb, jnp.take(img.reshape(-1), flat), 0.0)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("SB", "LB", "bf16", "windowed"))
 def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
@@ -221,30 +246,12 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
     a0, b0, da, db = _window_from_quad(Binv, H, W, abg=abg, X=X, Y=Y)
 
     # ---- stage 1: warp depth/assoc to the reference-plane grid --------
-    def warp_to_grid(img, nS, nL):
-        jj = (jnp.arange(nL, dtype=f32) + 0.5) / nL * da + a0
-        ii = (jnp.arange(nS, dtype=f32) + 0.5) / nS * db + b0
-        ag = jnp.broadcast_to(jj[None, :], (nS, nL))
-        bg = jnp.broadcast_to(ii[:, None], (nS, nL))
-        hom_u = Bmat[0, 0] * ag + Bmat[0, 1] * bg + Bmat[0, 2]
-        hom_w = Bmat[1, 0] * ag + Bmat[1, 1] * bg + Bmat[1, 2]
-        hom_z = Bmat[2, 0] * ag + Bmat[2, 1] * bg + Bmat[2, 2]
-        zsafe = jnp.where(jnp.abs(hom_z) < 1e-12, 1e-12, hom_z)
-        ug = hom_u / zsafe
-        wg = hom_w / zsafe
-        pu = jnp.clip(jnp.floor(ug + 0.5), 0, W - 1).astype(jnp.int32)
-        pw = jnp.clip(jnp.floor(wg + 0.5), 0, H - 1).astype(jnp.int32)
-        inb = (ug > -0.5) & (ug < W - 0.5) & (wg > -0.5) \
-            & (wg < H - 0.5) & (hom_z > 0)
-        flat = pw * W + pu
-        return jnp.where(inb, jnp.take(img.reshape(-1), flat), 0.0)
-
-    D_B = warp_to_grid(depth, SB, LB)
+    D_B = warp_image_to_grid(depth, Bmat, H, W, a0, b0, da, db, SB, LB)
     # association weights are piecewise smooth; a half-resolution grid
     # quarters their per-slice matmul cost
     SA = max(8, (SB // 2 + 7) // 8 * 8)
     LA = max(128, (LB // 2 + 127) // 128 * 128)
-    A_B = warp_to_grid(assoc, SA, LA)
+    A_B = warp_image_to_grid(assoc, Bmat, H, W, a0, b0, da, db, SA, LA)
 
     # ---- stage 2: scan over slices ------------------------------------
     pq_p = jnp.arange(X, dtype=f32)

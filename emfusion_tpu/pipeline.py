@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -128,7 +129,8 @@ class EMFusionPipeline:
             eps2=params.tsdfParams.eps2, nu_init=params.tsdfParams.nu_init,
             huber_thresh=params.tsdfParams.huberThresh,
             max_tsdf_weight=params.tsdfParams.maxTSDFWeight,
-            max_iter=params.maxTrackingIter)
+            max_iter=params.maxTrackingIter,
+            sampler=os.environ.get("EMF_TRACK_SAMPLER", "auto"))
         self.colormap = make_colormap()
 
         self.state = self._init_state()
@@ -305,10 +307,19 @@ class EMFusionPipeline:
             def take(arr):
                 return jnp.take(arr, slots, axis=0)
 
-            new_sub, tw_sub, hw_sub = jax.vmap(track_obj)(
-                take(o.tsdf), take(o.weights),
-                take(o.voxel_size), take(o.pose), take(o.assoc),
-                take(o.active))
+            # scan (serial over slots), NOT vmap: vmapping the LM
+            # while_loop turns its lax.conds into selects, so every
+            # object would pay the gradient-eval gather / the capture
+            # re-gather on every iteration; scanning keeps them real
+            # branches (the reference also runs objects one stream each,
+            # EMFusion.cpp:692-720)
+            def scan_body(carry, xs):
+                return carry, track_obj(*xs)
+
+            _, (new_sub, tw_sub, hw_sub) = jax.lax.scan(
+                scan_body, None,
+                (take(o.tsdf), take(o.weights), take(o.voxel_size),
+                 take(o.pose), take(o.assoc), take(o.active)))
             new_sub = jnp.where(take(o.active)[:, None, None], new_sub,
                                 take(o.pose))
             poses = o.pose.at[slots].set(new_sub)

@@ -30,6 +30,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from emfusion_tpu.geometry.capture import (
+    WIN, capture_neighborhoods, drift_ok, sample_system_from_cache,
+    sample_value_from_cache,
+)
 from emfusion_tpu.geometry.sampling import (
     sample_system_at_points, sample_volume_at_points,
 )
@@ -38,7 +42,15 @@ from emfusion_tpu.geometry.se3 import se3_exp, se3_log
 
 @dataclasses.dataclass(frozen=True)
 class TrackConfig:
-    """Static LM parameters (reference ``TSDFParams``, ``data.h:32-71``)."""
+    """Static LM parameters (reference ``TSDFParams``, ``data.h:32-71``).
+
+    ``sampler``: "gather" re-samples the volumes from HBM every LM
+    iteration (the direct analogue of the reference kernels); "capture"
+    gathers each point's 6^3 neighborhood once and evaluates iterations
+    algebraically from the cache (see ``geometry.capture``), re-capturing
+    only when the pose drifts out of the cached windows — the TPU
+    production path (XLA gathers are the LM bottleneck). "auto" picks
+    capture on accelerators, gather on CPU."""
     tau: float = 1e3
     eps1: float = 1e-8
     eps2: float = 1e-8
@@ -46,6 +58,7 @@ class TrackConfig:
     huber_thresh: float = 0.2
     max_tsdf_weight: float = 64.0
     max_iter: int = 100
+    sampler: str = "auto"
 
 
 class _LMState(NamedTuple):
@@ -63,6 +76,9 @@ class _LMState(NamedTuple):
     err: jnp.ndarray        # sum(w * psi^2) at the current pose
     hub: jnp.ndarray        # (N,) huber weights at the last gradient eval
     it: jnp.ndarray
+    cache: jnp.ndarray      # (2, W, W, W, N) captured tsdf+weight windows
+    anchor: jnp.ndarray     # (3, N) capture anchors
+    recaps: jnp.ndarray     # int32 re-capture count (profiling)
 
 
 def _sample_tsdf(tsdf, points, R, t, voxel_size):
@@ -96,21 +112,39 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
     """
     N = points.shape[1]
     f32 = jnp.float32
+    use_capture = cfg.sampler == "capture" or (
+        cfg.sampler == "auto"
+        and jax.default_backend() not in ("cpu",))
+    shape = tsdf.shape
+    if use_capture:
+        vols = jnp.stack([tsdf, weights])
 
-    def eval_system(R, t):
+        def recapture(R, t):
+            return capture_neighborhoods(vols, points, R, t, voxel_size)
+
+    def eval_system(R, t, cache, anchor):
         """Jacobian rows, residuals and combined weights at a pose.
 
-        One fused 27-corner neighborhood gather yields the margin-1
-        residual psi AND the finite-difference gradient (J translation
-        part, ``kernel_computePoseGradients``, TSDF.cu:603-660) — the
-        gather-bound LM hot path on TPU."""
-        psi, g3 = sample_system_at_points(tsdf, points, R, t, voxel_size)
+        Gather path: one fused 27-corner neighborhood gather yields the
+        margin-1 residual psi AND the finite-difference gradient (J
+        translation part, ``kernel_computePoseGradients``,
+        TSDF.cu:603-660). Capture path: tent-product evaluation from
+        the per-point cache — no gather."""
+        if use_capture:
+            psi, g3 = sample_system_from_cache(
+                cache[0], anchor, points, R, t, voxel_size, shape)
+            intw = sample_value_from_cache(
+                cache[1:2], anchor, points, R, t, voxel_size, shape,
+                margin=1)[0]
+        else:
+            psi, g3 = sample_system_at_points(tsdf, points, R, t,
+                                              voxel_size)
+            intw = sample_volume_at_points(weights, points, R, t,
+                                           voxel_size, margin=1)
         p = R @ points + t[:, None]                            # (3, N)
         grad_r = jnp.cross(p, g3, axis=0)
         J = jnp.concatenate([g3, grad_r], axis=0)              # (6, N)
 
-        intw = sample_volume_at_points(weights, points, R, t, voxel_size,
-                                       margin=1)
         abs_psi = jnp.abs(psi)
         # cv::cuda::divide defines x/0 = 0, so psi==0 pixels get weight 0
         huber = jnp.where(abs_psi > 0,
@@ -129,14 +163,37 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         b = Jw @ psi                 # (6,)
         return A, b
 
+    def maybe_recapture(cache, anchor, recaps, R, t, skip):
+        """Re-center the cached windows at (R, t) if any relevant point
+        drifted outside (capture path only; a no-op branch otherwise).
+        NOTE: ``lax.cond`` under ``vmap`` degenerates to select (both
+        branches execute) — callers batching over volumes should scan,
+        not vmap (see pipeline.track_objs_subset)."""
+        ok = skip | drift_ok(anchor, points, R, t, voxel_size, shape)
+
+        def keep(_):
+            return cache, anchor, recaps
+
+        def recap(_):
+            c, a = recapture(R, t)
+            return c, a, recaps + 1
+
+        return jax.lax.cond(ok, keep, recap, None)
+
     def body(s: _LMState) -> _LMState:
         # err = sum(w psi^2) at the current pose is carried in the state:
         # on reject iterations pose/weights are unchanged, so re-sampling
         # psi (the reference recomputes it per stage) would be a wasted
         # N-point gather.
+        if use_capture:
+            cache, anchor, recaps = maybe_recapture(
+                s.cache, s.anchor, s.recaps, s.R, s.t,
+                s.converged | ~s.eval_grad)
+        else:
+            cache, anchor, recaps = s.cache, s.anchor, s.recaps
 
         def do_eval(_):
-            psi_e, J, w, hub = eval_system(s.R, s.t)
+            psi_e, J, w, hub = eval_system(s.R, s.t, cache, anchor)
             A, b = build_normal_eqs(J, w, psi_e)
             err = jnp.sum(w * psi_e * psi_e)
             conv = jnp.max(jnp.abs(b)) < cfg.eps1
@@ -158,7 +215,16 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
             dT = se3_exp(-x)
             R_new = dT[:3, :3] @ s.R
             t_new = dT[:3, :3] @ s.t + dT[:3, 3]
-            psi_new = _sample_tsdf(tsdf, points, R_new, t_new, voxel_size)
+            if use_capture:
+                c2, a2, rc2 = maybe_recapture(cache, anchor, recaps,
+                                              R_new, t_new, step_conv)
+                psi_new = sample_value_from_cache(
+                    c2[0:1], a2, points, R_new, t_new, voxel_size,
+                    shape, margin=1)[0]
+            else:
+                c2, a2, rc2 = cache, anchor, recaps
+                psi_new = _sample_tsdf(tsdf, points, R_new, t_new,
+                                       voxel_size)
             err_new = jnp.sum(w * psi_new * psi_new)
             gain = 0.5 * jnp.dot(x, mu0 * x + b)
             rho = (err - err_new) / jnp.where(jnp.abs(gain) > 1e-30, gain,
@@ -179,32 +245,50 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
                 jnp.asarray(False),
                 jnp.where(do_step, accept, s.eval_grad),
                 converged | step_conv,
+                c2, a2, rc2,
             )
 
         def no_update(_):
-            return (s.R, s.t, s.mu, s.nu, s.first, s.eval_grad, converged)
+            return (s.R, s.t, s.mu, s.nu, s.first, s.eval_grad, converged,
+                    cache, anchor, recaps)
 
-        R, t, mu, nu, first, eval_grad, converged2 = jax.lax.cond(
-            converged, no_update, pose_update, None)
+        (R, t, mu, nu, first, eval_grad, converged2, cache, anchor,
+         recaps) = jax.lax.cond(converged, no_update, pose_update, None)
 
         # err stays valid across reject iterations (pose unchanged); after
         # an accepted step the next do_eval refreshes it before use.
         return _LMState(R=R, t=t, mu=mu, nu=nu, first=first,
                         eval_grad=eval_grad, converged=converged2,
-                        J=J, w=w, A=A, b=b, err=err, hub=hub, it=s.it + 1)
+                        J=J, w=w, A=A, b=b, err=err, hub=hub, it=s.it + 1,
+                        cache=cache, anchor=anchor, recaps=recaps)
 
     def cond(s: _LMState):
         return (s.it < cfg.max_iter) & ~s.converged
+
+    active_flag = jnp.asarray(active, bool)
+    if use_capture:
+        # initial capture at the init pose; skipped for inactive slots
+        # (callers batching over volumes must scan, not vmap)
+        cache0, anchor0 = jax.lax.cond(
+            active_flag,
+            lambda _: recapture(rel_pose_co[:3, :3], rel_pose_co[:3, 3]),
+            lambda _: (jnp.zeros((2, WIN, WIN, WIN, N), f32),
+                       jnp.zeros((3, N), jnp.int32)),
+            None)
+    else:
+        cache0 = jnp.zeros((2, 1, 1, 1, 1), f32)
+        anchor0 = jnp.zeros((3, 1), jnp.int32)
 
     init = _LMState(
         R=rel_pose_co[:3, :3], t=rel_pose_co[:3, 3],
         mu=jnp.asarray(0.0, f32), nu=jnp.asarray(cfg.nu_init, f32),
         first=jnp.asarray(True), eval_grad=jnp.asarray(True),
-        converged=jnp.asarray(~jnp.asarray(active, bool)),
+        converged=jnp.asarray(~active_flag),
         J=jnp.zeros((6, N), f32), w=jnp.zeros((N,), f32),
         A=jnp.eye(6, dtype=f32), b=jnp.zeros((6,), f32),
         err=jnp.asarray(0.0, f32), hub=jnp.zeros((N,), f32),
-        it=jnp.int32(0))
+        it=jnp.int32(0), cache=cache0, anchor=anchor0,
+        recaps=jnp.int32(0))
 
     final = jax.lax.while_loop(cond, body, init)
     pose = _pose_mat(final.R, final.t)
@@ -213,5 +297,6 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
     # and huber_weights/ debug exports (EMFusion.cpp:1088-1131)
     stats = {"iterations": final.it, "converged": final.converged,
              "grad_norm": jnp.max(jnp.abs(final.b)),
-             "track_weights": final.w, "huber_weights": final.hub}
+             "track_weights": final.w, "huber_weights": final.hub,
+             "recaptures": final.recaps}
     return pose, stats
