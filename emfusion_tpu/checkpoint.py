@@ -136,3 +136,7 @@ def load_checkpoint(pipe, path: str) -> None:
             for f, p in zip(arrays[k], arrays[f"traj.obj{oid}.poses"]):
                 traj[int(f)] = p
             pipe.obj_poses[oid] = traj
+
+    # host mirrors (active/ids/visible/poses) must match the restored
+    # device state before the next process_frame
+    pipe._refresh_host_mirrors()

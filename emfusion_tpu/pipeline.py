@@ -136,6 +136,19 @@ class EMFusionPipeline:
         self.state = self._init_state()
         self._next_id = 1
         self.meta: Dict[int, ObjectMeta] = {}
+        # Host mirrors of the small lifecycle state. Every device->host
+        # fetch through the TPU runtime costs a round trip (tens of ms
+        # through the axon relay); the reference reads these freely from
+        # host RAM. active/object_id only change in host lifecycle code
+        # (spawn/delete), so exact mirrors are maintained there; visible
+        # and the per-frame stats come back in ONE packed fetch per frame
+        # (_frame_summary) instead of a dozen scattered np.asarray calls.
+        self._h_active = np.zeros(self.K, bool)
+        self._h_ids = np.zeros(self.K, np.int64)
+        self._h_visible = np.zeros(self.K, bool)
+        self._h_bg_pose = np.asarray(params.volume_pose_matrix(),
+                                     np.float32)
+        self._h_cam_pose = np.eye(4, dtype=np.float32)
 
         # trajectory + export storage (reference EMFusion.h:330-468)
         self.poses: Dict[int, np.ndarray] = {}
@@ -287,18 +300,30 @@ class EMFusionPipeline:
             hw = stats["huber_weights"].reshape(hs, ws)
             return state.replace(cam_pose=state.bg_pose @ rel), tw, hw
 
-        def track_objs_subset(state: PipelineState, points, slots):
+        def track_objs_subset(state: PipelineState, points, slots,
+                              serial: bool = True):
             """Object LM over the given pool slots only (the reference
             loops over live objects, EMFusion.cpp:692-720; running just
-            the active subset avoids paying K x the gather cost)."""
+            the active subset avoids paying K x the gather cost).
+
+            ``serial=True`` (host pipeline): lax.scan over slots — vmap
+            would turn the LM while_loop's lax.conds into selects, so
+            every object would pay the gradient-eval gather / capture
+            re-gather every iteration (the reference also runs objects
+            one stream each). ``serial=False`` (single-jit multi-device
+            step): vmap over slots with the gather sampler, so the pool
+            axis stays shardable over the "obj" mesh axis — a scan would
+            serialize across devices."""
             o = state.objs
             cam_pose = state.cam_pose
+            tcfg = (cfg if serial
+                    else dataclasses.replace(cfg, sampler="gather"))
 
             def track_obj(tsdf, weights, vs, pose, assoc, active):
                 pts, asc = _track_pts(points, assoc)
                 rel_i = reorthonormalize(pose_inverse(pose) @ cam_pose)
                 rel_o, st = track_volume(tsdf, weights, vs, pts,
-                                         asc, rel_i, cfg, active=active)
+                                         asc, rel_i, tcfg, active=active)
                 # ObjTSDF::syncTrack: pose = cam_pose * rel^-1
                 return (cam_pose @ pose_inverse(rel_o),
                         st["track_weights"].reshape(hs, ws),
@@ -307,19 +332,16 @@ class EMFusionPipeline:
             def take(arr):
                 return jnp.take(arr, slots, axis=0)
 
-            # scan (serial over slots), NOT vmap: vmapping the LM
-            # while_loop turns its lax.conds into selects, so every
-            # object would pay the gradient-eval gather / the capture
-            # re-gather on every iteration; scanning keeps them real
-            # branches (the reference also runs objects one stream each,
-            # EMFusion.cpp:692-720)
-            def scan_body(carry, xs):
-                return carry, track_obj(*xs)
+            xs = (take(o.tsdf), take(o.weights), take(o.voxel_size),
+                  take(o.pose), take(o.assoc), take(o.active))
+            if serial:
+                def scan_body(carry, x):
+                    return carry, track_obj(*x)
 
-            _, (new_sub, tw_sub, hw_sub) = jax.lax.scan(
-                scan_body, None,
-                (take(o.tsdf), take(o.weights), take(o.voxel_size),
-                 take(o.pose), take(o.assoc), take(o.active)))
+                _, (new_sub, tw_sub, hw_sub) = jax.lax.scan(
+                    scan_body, None, xs)
+            else:
+                new_sub, tw_sub, hw_sub = jax.vmap(track_obj)(*xs)
             new_sub = jnp.where(take(o.active)[:, None, None], new_sub,
                                 take(o.pose))
             poses = o.pose.at[slots].set(new_sub)
@@ -332,7 +354,8 @@ class EMFusionPipeline:
             state, _, _ = track_camera(state, points)
             state = estep(state, points)
             state, _, _ = track_objs_subset(state, points,
-                                            jnp.arange(K, dtype=jnp.int32))
+                                            jnp.arange(K, dtype=jnp.int32),
+                                            serial=False)
             return state
 
         rc_backend = p.raycast_backend
@@ -622,7 +645,15 @@ class EMFusionPipeline:
             """Rescale-and-recenter an object volume into the same fixed
             grid (replaces ObjTSDF::resize's grow-and-copy,
             ObjTSDF.cpp:96-165). New grid positions (relative to the new
-            center) are sampled trilinearly from the old grid."""
+            center) are sampled trilinearly from the old grid.
+
+            TSDF values are stored normalized by truncdist, and truncdist
+            scales with the voxel size (data.h: objRelTruncDist * voxel)
+            — the reference never rescales so never faces this; here the
+            non-saturated band is renormalized by old/new truncdist so
+            metric distances stay consistent across resizes. Saturated
+            voxels (|t| ~ 1) carry no metric information and keep their
+            sign (they would otherwise leak into the new, wider band)."""
             Z, Y, X = tsdf.shape
             res = jnp.array([X, Y, Z], jnp.float32)
             zi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 0)
@@ -641,6 +672,9 @@ class EMFusionPipeline:
             t2 = trilinear_sample(tsdf, vx, vy, vz, ok)
             w2 = trilinear_sample(weights, vx, vy, vz, ok)
             f2 = trilinear_sample_channels(fgc, vx, vy, vz, ok)
+            ratio = old_vs / new_vs
+            t2 = jnp.where(jnp.abs(t2) < 0.999, t2 * ratio,
+                           jnp.sign(t2))
             g2 = compute_gradients(t2)
             return t2, w2, g2, f2
 
@@ -676,6 +710,26 @@ class EMFusionPipeline:
         self._cleanup_stats = jax.jit(cleanup_stats)
         self._cleanup_stats_nomatch = jax.jit(cleanup_stats_nomatch)
 
+        def pose_pack(state: PipelineState):
+            """Camera + object poses as one flat vector (one fetch)."""
+            return jnp.concatenate([state.cam_pose.reshape(-1),
+                                    state.objs.pose.reshape(-1)])
+
+        def frame_summary(state: PipelineState, obj_masks, vis_counts):
+            """Everything the host needs at end of frame, packed into ONE
+            f32 vector: [cam_pose(16), obj_poses(16K), vis_counts(K),
+            assoc pixel counts(K), assoc weight sums(K)] — a single
+            device->host round trip replaces the reference's free host
+            reads (it keeps these in host RAM; we pay a relay RTT per
+            fetch)."""
+            cnt, asum = cleanup_stats_nomatch(state, obj_masks)
+            return jnp.concatenate([
+                pose_pack(state), vis_counts.astype(jnp.float32),
+                cnt.astype(jnp.float32), asum])
+
+        self._pose_pack = jax.jit(pose_pack)
+        self._frame_summary = jax.jit(frame_summary)
+
     # ------------------------------------------------------------------
     # host-side frame processing
     # ------------------------------------------------------------------
@@ -689,9 +743,9 @@ class EMFusionPipeline:
             depth, points = self._preprocess(jnp.asarray(depth_raw))
 
         rc = None
+        self._frame_spawned = []
         if self.frame > 0:
-            active = np.asarray(self.state.objs.active)
-            slots = jnp.asarray(np.nonzero(active)[0], jnp.int32)
+            slots = jnp.asarray(np.nonzero(self._h_active)[0], jnp.int32)
             with self.timer.phase("estep_pre"):
                 state, _ = self._estep_subset(self.state, points, slots)
             pre_bg = state.bg_assoc
@@ -730,7 +784,7 @@ class EMFusionPipeline:
                     for i, s in enumerate(np.asarray(slots))}
             with self.timer.phase("raycast"):
                 state, rc = self._raycast_subset(
-                    state, slots, bg_axis=self._bg_scan_axis(state))
+                    state, slots, bg_axis=self._bg_scan_axis())
             self.state = state
             self._last_raycast = rc
             if self.save_output:
@@ -746,59 +800,93 @@ class EMFusionPipeline:
                 self.outputs["obj_assoc_post"][self.frame] = {
                     int(ids[k]): post_o[k] for k in range(self.K) if act[k]}
 
-        with self.timer.phase("store_poses"):
-            self._store_poses()
-
         matches: Dict[int, np.ndarray] = {}
         num_instances = -1
-        if self.frame % p.maskRCNNFrames == 0:
+        mask_frame = self.frame % p.maskRCNNFrames == 0
+        if mask_frame:
+            # poses must be recorded BEFORE updateObj applies resize pose
+            # offsets (reference stores at EMFusion.cpp:96, before
+            # initOrMatchObjs) -> fetch them now; on ordinary frames the
+            # poses ride the end-of-frame summary fetch instead.
+            with self.timer.phase("store_poses"):
+                self._apply_store_poses(
+                    np.asarray(self._pose_pack(self.state)))
             with self.timer.phase("masks"):
                 num_instances = self._init_or_match_objs(rgb, points, rc,
                                                          matches)
 
         with self.timer.phase("integrate"):
-            act = np.asarray(self.state.objs.active)
-            islots = jnp.asarray(np.nonzero(act)[0], jnp.int32)
+            islots = jnp.asarray(np.nonzero(self._h_active)[0], jnp.int32)
             self.state = self._integrate_subset(
-                self.state, depth, islots,
-                bg_axis=self._bg_scan_axis(self.state))
+                self.state, depth, islots, bg_axis=self._bg_scan_axis())
 
         if num_instances > 0:
             with self.timer.phase("integrate_masks"):
                 self._apply_mask_integration(matches, rc)
 
+        # ---- the ONE device->host fetch of an ordinary frame ----------
+        cnt = asum = None
+        with self.timer.phase("summary"):
+            if rc is not None:
+                s = np.asarray(self._frame_summary(
+                    self.state, rc["obj_masks"], rc["vis_counts"]))
+                off = 16 + 16 * self.K
+                poses_flat = s[:off]
+                vis = s[off:off + self.K]
+                cnt = s[off + self.K:off + 2 * self.K]
+                asum = s[off + 2 * self.K:off + 3 * self.K]
+                vis_h = self._h_active & (vis > p.visibilityThresh)
+                for k in self._frame_spawned:
+                    vis_h[k] = True    # spawned after this frame's raycast
+                self._h_visible = vis_h
+            else:
+                poses_flat = np.asarray(self._pose_pack(self.state))
+            if not mask_frame:
+                self._apply_store_poses(poses_flat)
+
         with self.timer.phase("cleanup"):
-            self._clean_up_objs(num_instances, matches, rc)
+            self._clean_up_objs(num_instances, matches, rc, cnt, asum)
 
         self.frame += 1
 
     # ------------------------------------------------------------------
-    def _bg_scan_axis(self, state: PipelineState) -> int:
+    def _bg_scan_axis(self) -> int:
         """Static scan axis for the background pencil/sweep programs —
         the volume axis most aligned with the camera optical axis
-        (host-side: each value compiles its own cached program variant)."""
+        (host-side: each value compiles its own cached program variant).
+        Uses the last *fetched* camera pose (<= 1 frame old — avoiding a
+        mid-frame device sync; the argmax axis choice is insensitive to
+        frame-scale motion)."""
         if not self._scan_axis_dynamic:
             return 2
-        rel_co = np.linalg.inv(np.asarray(state.bg_pose)) \
-            @ np.asarray(state.cam_pose)
+        rel_co = np.linalg.inv(self._h_bg_pose) @ self._h_cam_pose
         return pick_scan_axis(rel_co)
 
     # ------------------------------------------------------------------
-    def _store_poses(self):
-        self.poses[self.frame] = np.asarray(self.state.cam_pose)
-        ids = np.asarray(self.state.objs.object_id)
-        active = np.asarray(self.state.objs.active)
-        poses = np.asarray(self.state.objs.pose)
+    def _apply_store_poses(self, poses_flat: np.ndarray):
+        """storePoses (EMFusion.cpp:96) from the packed pose fetch."""
+        cam = poses_flat[:16].reshape(4, 4).copy()
+        self.poses[self.frame] = cam
+        self._h_cam_pose = cam
+        obj = poses_flat[16:16 + 16 * self.K].reshape(self.K, 4, 4)
         for k in range(self.K):
-            if active[k]:
-                self.obj_poses.setdefault(int(ids[k]), {})[self.frame] = \
-                    poses[k]
+            if self._h_active[k]:
+                self.obj_poses.setdefault(
+                    int(self._h_ids[k]), {})[self.frame] = obj[k].copy()
+
+    def _refresh_host_mirrors(self):
+        """Re-derive the host mirrors from device state (used after
+        checkpoint restore / direct state injection)."""
+        o = self.state.objs
+        self._h_active = np.asarray(o.active).copy()
+        self._h_ids = np.asarray(o.object_id).astype(np.int64)
+        self._h_visible = np.asarray(o.visible).copy()
+        self._h_bg_pose = np.asarray(self.state.bg_pose).copy()
+        self._h_cam_pose = np.asarray(self.state.cam_pose).copy()
 
     def _slot_of(self, obj_id: int) -> int:
-        ids = np.asarray(self.state.objs.object_id)
-        active = np.asarray(self.state.objs.active)
         for k in range(self.K):
-            if active[k] and ids[k] == obj_id:
+            if self._h_active[k] and self._h_ids[k] == obj_id:
                 return k
         return -1
 
@@ -833,9 +921,9 @@ class EMFusionPipeline:
         unmatched: List[int] = []
         masks = [d.mask.copy() for d in dets]
 
-        ids = np.asarray(self.state.objs.object_id)
-        active = np.asarray(self.state.objs.active)
-        visible = np.asarray(self.state.objs.visible)
+        ids = self._h_ids
+        active = self._h_active
+        visible = self._h_visible
 
         # --- matchSegmentation (EMFusion.cpp:418-455, 797-825)
         for i in range(n):
@@ -891,8 +979,8 @@ class EMFusionPipeline:
                 matches[new_id] = masks[i]
                 score_matches[new_id] = dets[i].scores
                 # refresh host views after spawn
-                ids = np.asarray(self.state.objs.object_id)
-                active = np.asarray(self.state.objs.active)
+                ids = self._h_ids
+                active = self._h_active
 
         # --- update matched objects (EMFusion.cpp:359-369)
         for k in range(self.K):
@@ -921,8 +1009,8 @@ class EMFusionPipeline:
         pts = jnp.asarray(pts_w)
 
         # overlap check vs existing objects (volumeIOU, EMFusion.cpp:560-612)
-        ids = np.asarray(self.state.objs.object_id)
-        active = np.asarray(self.state.objs.active)
+        ids = self._h_ids
+        active = self._h_active
         poses = np.asarray(self.state.objs.pose)
         vsizes = np.asarray(self.state.objs.voxel_size)
         for k in range(self.K):
@@ -973,6 +1061,10 @@ class EMFusionPipeline:
             assoc=o.assoc.at[slot].set(1.0),   # createObj: assoc=1
         )
         self.state = self.state.replace(objs=o)
+        self._h_active[slot] = True
+        self._h_visible[slot] = True
+        self._h_ids[slot] = new_id
+        self._frame_spawned.append(slot)
         # exCount starts at 0 (ObjTSDF.h:209-210); the creation frame's
         # match loop then applies updateExProb(true) -> 1
         # (EMFusion.cpp:359-365: new objects are in `matches`)
@@ -1077,8 +1169,8 @@ class EMFusionPipeline:
         masks = np.zeros((K, H, W), bool)
         occls = np.zeros((K, H, W), bool)
         do = np.zeros((K,), bool)
-        ids = np.asarray(self.state.objs.object_id)
-        active = np.asarray(self.state.objs.active)
+        ids = self._h_ids
+        active = self._h_active
         seg_map = np.asarray(rc["seg"]) if rc is not None else \
             np.zeros((H, W), np.int32)
         own_masks = np.asarray(rc["obj_masks"]) if rc is not None else \
@@ -1097,13 +1189,16 @@ class EMFusionPipeline:
                 jnp.asarray(do))
 
     # ------------------------------------------------------------------
-    def _clean_up_objs(self, num_instances, matches, rc):
-        """cleanUpObjs (EMFusion.cpp:922-980)."""
+    def _clean_up_objs(self, num_instances, matches, rc,
+                       cnt=None, asum=None):
+        """cleanUpObjs (EMFusion.cpp:922-980). ``cnt``/``asum``: per-slot
+        association stats pre-fetched by the frame-summary pack (ordinary
+        frames); when a matched segmentation exists this frame they are
+        recomputed with the mask OR'd in (reference :940-943)."""
         p = self.params
-        o = self.state.objs
-        ids = np.asarray(o.object_id)
-        active = np.asarray(o.active)
-        visible = np.asarray(o.visible)
+        ids = self._h_ids
+        active = self._h_active
+        visible = self._h_visible
 
         spurious = set()
         if num_instances > 0:
@@ -1132,7 +1227,7 @@ class EMFusionPipeline:
                 cnt, asum = self._cleanup_stats(
                     self.state, rc["obj_masks"], jnp.asarray(match_masks),
                     jnp.asarray(have_match))
-            else:
+            elif cnt is None:
                 cnt, asum = self._cleanup_stats_nomatch(
                     self.state, rc["obj_masks"])
             cnt, asum = np.asarray(cnt), np.asarray(asum)
@@ -1163,6 +1258,8 @@ class EMFusionPipeline:
                     visible=o.visible.at[k].set(False),
                     assoc=o.assoc.at[k].set(0.0),
                 )
+                self._h_active[k] = False
+                self._h_visible[k] = False
             self.state = self.state.replace(objs=o)
 
     # ------------------------------------------------------------------
@@ -1195,8 +1292,8 @@ class EMFusionPipeline:
 
     @property
     def active_object_ids(self) -> List[int]:
-        ids = np.asarray(self.state.objs.object_id)
-        active = np.asarray(self.state.objs.active)
+        ids = self._h_ids
+        active = self._h_active
         return [int(ids[k]) for k in range(self.K) if active[k]]
 
     @property

@@ -1,0 +1,111 @@
+"""Accuracy gate for the TPU production configuration.
+
+The TPU defaults take shortcuts the exact path does not: pencil fusion +
+sweep raycast, tracking on a stride-3 pixel grid, E-step on a half-scale
+grid, bf16 matmul chains, and the capture-cache LM sampler. Nothing else
+in CI pins their accuracy; this module runs both configurations on a
+synthetic sequence with ground-truth camera poses and gates
+
+  * the production trajectory against the exact-path trajectory, and
+  * BOTH trajectories against ground truth via the in-repo ATE
+    evaluator (``eval/ate.py`` — the harness that the BASELINE
+    <=1.05x-reference-ATE acceptance runs through).
+
+Scene scale: 128^3 volume over 2.56 m (2 cm voxels), 160x120 frames —
+small enough for CPU CI, large enough that stride-3 tracking sees
+thousands of valid pixels.
+"""
+
+import numpy as np
+import pytest
+
+from emfusion_tpu.config import Params
+from emfusion_tpu.eval.ate import evaluate_ate
+from emfusion_tpu.pipeline import EMFusionPipeline
+from synthetic import SyntheticScene
+
+
+N_FRAMES = 8
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    scene = SyntheticScene(
+        H=120, W=160, f=130.0, floor_y=0.75,
+        bg_spheres=((np.array([-0.45, 0.05, 1.3]), 0.35),
+                    (np.array([0.5, -0.3, 1.5]), 0.3)),
+        obj_sphere_r=0.0)
+    frames = []
+    gt = {}
+    for i in range(N_FRAMES):
+        th = 0.006 * i
+        c, s = np.cos(th), np.sin(th)
+        cam = np.array([[c, 0, s, 0.012 * i],
+                        [0, 1, 0, -0.008 * i],
+                        [-s, 0, c, 0.004 * i],
+                        [0, 0, 0, 1]], np.float32)
+        depth, _ = scene.render(cam, np.array([9.0, 9.0, 9.0]))  # no object
+        frames.append(depth)
+        gt[float(i)] = cam.copy()
+    return scene, frames, gt
+
+
+def _run(scene, frames, **over):
+    base = dict(
+        frameSize=(scene.W, scene.H), fx=scene.f, fy=scene.f,
+        cx=scene.W / 2 - 0.5, cy=scene.H / 2 - 0.5,
+        globalVolumeDims=(128, 128, 128), globalVoxelSize=2.56 / 128,
+        volumePose=(0.0, 0.0, 1.28), objVolumeDims=(16, 16, 16),
+        maxTrackingIter=50, raycast_max_steps=256, max_objects=4,
+        maskRCNNFrames=1000)
+    base.update(over)
+    pipe = EMFusionPipeline(Params(**base), None)
+    for f, depth in enumerate(frames):
+        pipe.process_frame(None, depth, timestamp=float(f))
+    return {float(f): p for f, p in pipe.poses.items()}
+
+
+EXACT = dict(fusion_backend="gather", raycast_backend="march",
+             tracking_stride=1, estep_scale=1, matmul_bf16=False)
+# the TPU defaults (pipeline auto-selects these on accelerators;
+# spelled out so the gate can run on CPU)
+PROD = dict(fusion_backend="pencil", raycast_backend="sweep",
+            tracking_stride=3, estep_scale=2, matmul_bf16=True)
+
+
+@pytest.fixture(scope="module")
+def trajectories(sequence):
+    scene, frames, gt = sequence
+    import os
+    os.environ.setdefault("EMF_TRACK_SAMPLER", "auto")
+    exact = _run(scene, frames, **EXACT)
+    os.environ["EMF_TRACK_SAMPLER"] = "capture"
+    try:
+        prod = _run(scene, frames, **PROD)
+    finally:
+        os.environ["EMF_TRACK_SAMPLER"] = "auto"
+    return exact, prod, gt
+
+
+def test_production_defaults_close_to_exact_path(trajectories):
+    exact, prod, _ = trajectories
+    voxel = 0.02
+    for f in exact:
+        dt = np.linalg.norm(exact[f][:3, 3] - prod[f][:3, 3])
+        assert dt < 0.75 * voxel, (f, dt)
+
+
+def test_production_defaults_ate_bound(trajectories):
+    """Golden-ATE gate: both configurations must track the ground-truth
+    trajectory to sub-voxel RMSE, and the production shortcuts must not
+    exceed the exact path's ATE by more than 1.05x + a 2 mm floor
+    (BASELINE.md accuracy target, applied to the synthetic golden
+    sequence; the floor absorbs ATE ~ 0 cases)."""
+    exact, prod, gt = trajectories
+    r_exact = evaluate_ate(exact, gt, max_difference=0.5)
+    r_prod = evaluate_ate(prod, gt, max_difference=0.5)
+    voxel = 0.02
+    assert r_exact["rmse"] < voxel, r_exact
+    assert r_prod["rmse"] < voxel, r_prod
+    assert r_prod["rmse"] <= 1.05 * r_exact["rmse"] + 0.002, \
+        (r_prod["rmse"], r_exact["rmse"])
