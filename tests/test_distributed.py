@@ -92,3 +92,58 @@ def test_mesh_factorizations():
             pytest.skip("not enough devices")
         m = make_mesh(n)
         assert m.devices.shape == shape, (n, m.devices.shape)
+
+
+def test_pixel_sharded_gn_tracking_matches():
+    """Pixel-sharded Gauss-Newton (VERDICT r1 missing #2): tracking
+    points sharded over a 1-D mesh; GSPMD turns the (6,N)x(N,6)
+    normal-equation contraction into per-shard partial products + an
+    all-reduce (the TPU analogue of reduceAb, src/core/TSDF.cpp:375-389).
+    The LM result must match the replicated run exactly."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from emfusion_tpu.geometry import se3_exp
+    from emfusion_tpu.tracking import TrackConfig, track_volume
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    res, voxel, trunc = 48, 0.05, 0.25
+    idx = np.arange(res, dtype=np.float32) - (res - 1) / 2
+    zz, yy, xx = np.meshgrid(idx, idx, idx, indexing="ij")
+    r = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2) * voxel
+    tsdf = np.clip((r - 0.5) / trunc, -1, 1).astype(np.float32)
+    weights = np.ones_like(tsdf)
+
+    rng = np.random.RandomState(7)
+    n = 4096
+    v = rng.randn(n, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[:, 2] = -np.abs(v[:, 2])
+    gt = np.eye(4, dtype=np.float32)
+    gt[2, 3] = -1.2
+    T = np.linalg.inv(gt)
+    pts = ((v * 0.5) @ T[:3, :3].T + T[:3, 3]).astype(np.float32).T
+    init = np.asarray(se3_exp(jnp.array(
+        [0.02, -0.03, 0.04, 0.02, -0.01, 0.015]))) @ gt
+    assoc = np.ones(n, np.float32)
+    cfg = TrackConfig(max_iter=30)
+
+    f = jax.jit(lambda t, w, p_, a, ini: track_volume(
+        t, w, voxel, p_, a, ini, cfg)[0])
+    pose_ref = np.asarray(f(jnp.asarray(tsdf), jnp.asarray(weights),
+                            jnp.asarray(pts), jnp.asarray(assoc),
+                            jnp.asarray(init)))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("px",))
+    pts_sh = jax.device_put(pts, NamedSharding(mesh, P(None, "px")))
+    asc_sh = jax.device_put(assoc, NamedSharding(mesh, P("px")))
+    pose_sh = np.asarray(f(jnp.asarray(tsdf), jnp.asarray(weights),
+                           pts_sh, asc_sh, jnp.asarray(init)))
+    np.testing.assert_allclose(pose_sh, pose_ref, atol=1e-5)
+
+    # the compiled sharded program must actually reduce across shards
+    lowered = f.lower(jnp.asarray(tsdf), jnp.asarray(weights), pts_sh,
+                      asc_sh, jnp.asarray(init))
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo or "all_reduce" in hlo
