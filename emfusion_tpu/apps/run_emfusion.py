@@ -37,6 +37,11 @@ def build_parser():
     ap.add_argument("--background", action="store_true",
                     help="run headless (no display)")
     ap.add_argument("--show-slam", action="store_true")
+    ap.add_argument("--turntable", type=int, default=0, metavar="N",
+                    help="after the run, render N orbit views of the "
+                         "fused model (turntable/ under --exportdir) — "
+                         "the headless stand-in for the reference's "
+                         "cv::viz 3-D window")
     ap.add_argument("--frame-meshes", type=int, default=0, metavar="N",
                     help="export per-frame meshes every N frames "
                          "(frame_meshes/ tree)")
@@ -168,6 +173,12 @@ def main(argv=None):
     if args.exportdir:
         write_results(pipe, args.exportdir,
                       export_volumes=args.export_volume)
+        if args.turntable > 0:
+            from emfusion_tpu.viz import render_turntable, save_frames
+            frames_tt = render_turntable(pipe, n_views=args.turntable)
+            tt_dir = os.path.join(args.exportdir, "turntable")
+            os.makedirs(tt_dir, exist_ok=True)
+            save_frames(frames_tt, os.path.join(tt_dir, "view%03d.png"))
         print(f"results written to {args.exportdir}")
     return 0
 

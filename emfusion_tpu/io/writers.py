@@ -198,6 +198,9 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
         for idx, mask_list in pipe.outputs.get("masks", {}).items():
             for i, m in enumerate(mask_list):
                 _dump("masks", idx * 100 + i, np.asarray(m))
+        # MaskRCNN::visualize overlays (color fill + boxes + labels)
+        for idx, im in pipe.outputs.get("mask_vis", {}).items():
+            _dump("masks_vis", idx, im)
         # per-object dumps keyed {frame: {obj_id: image}}
         for key, sub_fmt in (
                 ("obj_assoc_pre", "assoc_weights/{oid}/preTrack"),

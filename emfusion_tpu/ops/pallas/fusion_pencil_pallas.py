@@ -54,9 +54,10 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
             t_ref, w_ref, to_ref, wo_ref, *, Wimg: int, Himg: int,
             XB: int):
     f32 = jnp.float32
-    ka, ca = coef_ref[0, 0], coef_ref[0, 1]
-    kb, cb = coef_ref[0, 2], coef_ref[0, 3]
-    cc0, cc1, cc2 = coef_ref[0, 4], coef_ref[0, 5], coef_ref[0, 6]
+    z = pl.program_id(0)
+    ka, ca = coef_ref[z, 0], coef_ref[z, 1]
+    kb, cb = coef_ref[z, 2], coef_ref[z, 3]
+    cc0, cc1, cc2 = coef_ref[z, 4], coef_ref[z, 5], coef_ref[z, 6]
     capx0, capx1, capx2 = glob_ref[0, 0], glob_ref[0, 1], glob_ref[0, 2]
     capy0, capy1, capy2 = glob_ref[0, 3], glob_ref[0, 4], glob_ref[0, 5]
     fx, fy = glob_ref[0, 6], glob_ref[0, 7]
@@ -69,8 +70,9 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     SA, LA = abf_ref.shape
     x0 = (pl.program_id(1) * XB).astype(f32)
 
-    px = lax.broadcasted_iota(f32, (1, XB), 1) + x0       # voxel x idx
-    qy = lax.broadcasted_iota(f32, (Y, 1), 0)             # voxel y idx
+    # Mosaic's tpu.iota is integer-only; cast after generating
+    px = lax.broadcasted_iota(jnp.int32, (1, XB), 1).astype(f32) + x0
+    qy = lax.broadcasted_iota(jnp.int32, (Y, 1), 0).astype(f32)
 
     ja = ka * px + ca                                     # (1, XB)
     ib = kb * qy + cb                                     # (Y, 1)
@@ -81,13 +83,15 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
         # (n, XB) bf16; column j selects row floor(c[j]+0.5), nothing if
         # out of range (reproduces fusion_pencil._nearest_matrix)
         idx = jnp.floor(c + 0.5)
-        rows = lax.broadcasted_iota(f32, (n, c.shape[1]), 0)
+        rows = lax.broadcasted_iota(jnp.int32, (n, c.shape[1]), 0
+                                    ).astype(f32)
         return (rows == idx).astype(_BF)
 
     def onehot_rows_t(n, c):
         # (Y, n) bf16; row y selects source row floor(c[y]+0.5)
         idx = jnp.floor(c + 0.5)
-        cols = lax.broadcasted_iota(f32, (c.shape[0], n), 1)
+        cols = lax.broadcasted_iota(jnp.int32, (c.shape[0], n), 1
+                                    ).astype(f32)
         return (cols == idx).astype(_BF)
 
     Ec = onehot_cols(LB, ja)
@@ -200,7 +204,7 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda z, j: (z, 0),
+            pl.BlockSpec((Z, 8), lambda z, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16), lambda z, j: (0, 0),
                          memory_space=pltpu.SMEM),

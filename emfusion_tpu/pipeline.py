@@ -159,7 +159,7 @@ class EMFusionPipeline:
         self.outputs: Dict[str, dict] = {
             "bg_assoc_pre": {}, "bg_assoc_post": {},
             "obj_assoc_pre": {}, "obj_assoc_post": {},
-            "renderings": {}, "masks": {},
+            "renderings": {}, "masks": {}, "mask_vis": {},
             "track_weights_bg": {}, "huber_weights_bg": {},
             "obj_track_weights": {}, "obj_huber_weights": {},
             "fg_probs": {},
@@ -904,13 +904,16 @@ class EMFusionPipeline:
                                          min_pixels=p.mask_min_pixels)
         if self.save_output:
             self.outputs["masks"][self.frame] = [d.mask for d in dets]
+            from emfusion_tpu.viz import visualize_detections
+            self.outputs["mask_vis"][self.frame] = \
+                visualize_detections(rgb, dets)   # MaskRCNN::visualize
         n = len(dets)
         if n == 0:
             return 0
 
         depth_np = np.asarray(points)[2]
         valid_points = depth_np > 0
-        cam = np.asarray(self.state.cam_pose)
+        cam = self._h_cam_pose   # fetched at mask-frame start
         pts_w = (np.asarray(points).reshape(3, -1).T @ cam[:3, :3].T
                  + cam[:3, 3]).astype(np.float32)
 
