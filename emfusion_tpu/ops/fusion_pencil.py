@@ -241,6 +241,23 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
     fx, fy = intr[0, 0], intr[1, 1]
     cx, cy = intr[0, 2], intr[1, 2]
 
+    Bmat, Binv, abg, camc, D_B, A_B, scal = _pencil_stage1(
+        depth, assoc, rel_rot, rel_trans, intr, voxel_size,
+        (Z, Y, X), truncdist, max_weight, SB, LB)
+    return _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
+                        SB=SB, LB=LB, bf16=bf16, windowed=windowed,
+                        H=H, W=W)
+
+
+def _pencil_stage1(depth, assoc, rel_rot, rel_trans, intr, voxel_size,
+                   shape, truncdist, max_weight, SB: int, LB: int):
+    """Global (z-independent) part of the pencil factorization: setup,
+    image->B-grid warps, per-slice coefficient rows and the scalar
+    bundle consumed by the slice scan. Shared by the single-device path
+    and the z-sharded shard_map path (per-slice rows ``abg``/``camc``
+    shard with the volume; everything else is replicated)."""
+    Z, Y, X = shape
+    H, W = depth.shape
     Bmat, Binv, abg, capx, capy, camc = _pencil_setup(
         rel_rot, rel_trans, intr, voxel_size, Z, Y, X)
     a0, b0, da, db = _window_from_quad(Binv, H, W, abg=abg, X=X, Y=Y)
@@ -252,8 +269,31 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
     SA = max(8, (SB // 2 + 7) // 8 * 8)
     LA = max(128, (LB // 2 + 127) // 128 * 128)
     A_B = warp_image_to_grid(assoc, Bmat, H, W, a0, b0, da, db, SA, LA)
+    scal = jnp.stack([
+        a0, b0, da, db, capx[0], capx[1], capx[2], capy[0], capy[1],
+        capy[2], intr[0, 0], intr[1, 1], intr[0, 2], intr[1, 2],
+        jnp.asarray(truncdist, jnp.float32),
+        jnp.asarray(max_weight, jnp.float32)]).astype(jnp.float32)
+    return Bmat, Binv, abg, camc, D_B, A_B, scal
 
-    # ---- stage 2: scan over slices ------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("SB", "LB", "bf16", "windowed", "H",
+                                    "W"))
+def _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
+                 SB: int, LB: int, bf16: bool, windowed: bool,
+                 H: int, W: int):
+    """Stage 2 of the pencil fusion: lax.scan over the (possibly
+    shard-local) z slices with their per-slice coefficient rows."""
+    Z, Y, X = tsdf.shape
+    f32 = jnp.float32
+    SA, LA = A_B.shape
+    (a0, b0, da, db) = scal[0], scal[1], scal[2], scal[3]
+    capx = scal[4:7]
+    capy = scal[7:10]
+    fx, fy, cx, cy = scal[10], scal[11], scal[12], scal[13]
+    truncdist, max_weight = scal[14], scal[15]
+
     pq_p = jnp.arange(X, dtype=f32)
     pq_q = jnp.arange(Y, dtype=f32)
     pv = jnp.broadcast_to(pq_p[None, :], (Y, X))

@@ -42,13 +42,17 @@ def _corner_values(vol: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("max_verts", "max_tris"))
 def marching_cubes(tsdf: jnp.ndarray, grads: jnp.ndarray, mask: jnp.ndarray,
-                   voxel_size, max_verts: int, max_tris: int):
+                   voxel_size, max_verts: int, max_tris: int,
+                   z_origin=None):
     """Extract the zero isosurface.
 
     Args:
       tsdf: (Z, Y, X); grads: channel-first (3, Z, Y, X); mask: (Z, Y, X)
         bool validity.
       max_verts/max_tris: static output capacities.
+      z_origin: world z of voxel plane 0 (default: volume-centered,
+        ``-(Z-1)/2 * voxel``). Lets a z-shard emit vertices in GLOBAL
+        volume coordinates (sharded marching cubes).
 
     Returns dict with ``vertices`` (max_verts, 3), ``normals``
     (max_verts, 3), ``triangles`` (max_tris, 3) int32 vertex indices,
@@ -56,6 +60,8 @@ def marching_cubes(tsdf: jnp.ndarray, grads: jnp.ndarray, mask: jnp.ndarray,
     degenerate (0,0,0) triangles.
     """
     Z, Y, X = tsdf.shape
+    if z_origin is None:
+        z_origin = -(Z - 1) / 2.0 * voxel_size
     # meshing is export-cadence work; move channels last for the corner
     # slicing below (fine on any backend at this call rate)
     grads = jnp.moveaxis(grads, 0, -1)
@@ -93,7 +99,7 @@ def marching_cubes(tsdf: jnp.ndarray, grads: jnp.ndarray, mask: jnp.ndarray,
         return jnp.stack([
             (xi + dx - (X - 1) / 2.0) * voxel_size,
             (yi + dy - (Y - 1) / 2.0) * voxel_size,
-            (zi + dz - (Z - 1) / 2.0) * voxel_size], axis=-1)
+            (zi + dz) * voxel_size + z_origin], axis=-1)
 
     def vertex_interp(p1, p2, v1, v2):
         """vertexInterp semantics (TSDF.cu:909-920)."""
