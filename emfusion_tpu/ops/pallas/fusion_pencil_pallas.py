@@ -51,8 +51,8 @@ _BF = jnp.bfloat16
 
 
 def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
-            t_ref, w_ref, to_ref, wo_ref, *, Wimg: int, Himg: int,
-            XB: int):
+            t_ref, w_ref, to_ref, wo_ref, dval_scr, aval_scr, *,
+            Wimg: int, Himg: int, XB: int, ladder=()):
     f32 = jnp.float32
     z = pl.program_id(0)
     ka, ca = coef_ref[z, 0], coef_ref[z, 1]
@@ -79,33 +79,143 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     jaa = (ja + 0.5) * rl - 0.5
     iba = (ib + 0.5) * ra - 0.5
 
-    def onehot_cols(n, c):
-        # (n, XB) bf16; column j selects row floor(c[j]+0.5), nothing if
-        # out of range (reproduces fusion_pencil._nearest_matrix)
+    def onehot_cols(n, c, off=None):
+        # (n, XB) bf16; column j selects row floor(c[j]+0.5)-off, nothing
+        # if out of range (reproduces fusion_pencil._nearest_matrix)
         idx = jnp.floor(c + 0.5)
+        if off is not None:
+            idx = idx - off
         rows = lax.broadcasted_iota(jnp.int32, (n, c.shape[1]), 0
                                     ).astype(f32)
         return (rows == idx).astype(_BF)
 
-    def onehot_rows_t(n, c):
-        # (Y, n) bf16; row y selects source row floor(c[y]+0.5)
+    def onehot_rows_t(n, c, off=None):
+        # (Y, n) bf16; row y selects source row floor(c[y]+0.5)-off
         idx = jnp.floor(c + 0.5)
+        if off is not None:
+            idx = idx - off
         cols = lax.broadcasted_iota(jnp.int32, (c.shape[0], n), 1
                                     ).astype(f32)
         return (cols == idx).astype(_BF)
 
-    Ec = onehot_cols(LB, ja)
-    Ert = onehot_rows_t(SB, ib)
-    tmp_hi = jnp.dot(dhi_ref[:], Ec, preferred_element_type=f32)
-    tmp_lo = jnp.dot(dlo_ref[:], Ec, preferred_element_type=f32)
-    # tmp_* entries are single selected bf16 values -> recast is exact
-    dval = (jnp.dot(Ert, tmp_hi.astype(_BF), preferred_element_type=f32)
-            + jnp.dot(Ert, tmp_lo.astype(_BF), preferred_element_type=f32))
+    def gather_full():
+        Ec = onehot_cols(LB, ja)
+        Ert = onehot_rows_t(SB, ib)
+        tmp_hi = jnp.dot(dhi_ref[:], Ec, preferred_element_type=f32)
+        tmp_lo = jnp.dot(dlo_ref[:], Ec, preferred_element_type=f32)
+        # tmp_* entries are single selected bf16 values -> recast exact
+        dval = (jnp.dot(Ert, tmp_hi.astype(_BF),
+                        preferred_element_type=f32)
+                + jnp.dot(Ert, tmp_lo.astype(_BF),
+                          preferred_element_type=f32))
+        Eca = onehot_cols(LA, jaa)
+        Erta = onehot_rows_t(SA, iba)
+        tmpa = jnp.dot(abf_ref[:], Eca, preferred_element_type=f32)
+        aval = jnp.dot(Erta, tmpa.astype(_BF),
+                       preferred_element_type=f32)
+        dval_scr[:] = dval
+        aval_scr[:] = aval
 
-    Eca = onehot_cols(LA, jaa)
-    Erta = onehot_rows_t(SA, iba)
-    tmpa = jnp.dot(abf_ref[:], Eca, preferred_element_type=f32)
-    aval = jnp.dot(Erta, tmpa.astype(_BF), preferred_element_type=f32)
+    if not ladder:
+        gather_full()
+    else:
+        # ---- per-program window ladder ------------------------------
+        # The one-hot selection only reads the B-grid rows/cols that the
+        # nearest indices of THIS (z, x-block) program touch. Dynamic-
+        # slicing the smallest fitting window out of the VMEM-resident
+        # grids before the matmul chains cuts the MAC count by the
+        # window ratio (far slices shrink as 1/gamma). Exactness: a
+        # window [s, s+Wn) with s <= max(lo,0) and min(hi, n-1) < s+Wn
+        # reproduces the full-grid selection — in-range indices land in
+        # the window, out-of-range indices select nothing in both paths
+        # (window rows are real grid rows, so an index outside [0,n)
+        # maps outside [0,Wn) after the shift).
+        x1 = x0 + float(XB - 1)
+        ja0, ja1 = ka * x0 + ca, ka * x1 + ca
+        ib0, ib1 = cb, kb * float(Y - 1) + cb
+        jaa0, jaa1 = (ja0 + 0.5) * rl - 0.5, (ja1 + 0.5) * rl - 0.5
+        iba0, iba1 = (ib0 + 0.5) * ra - 0.5, (ib1 + 0.5) * ra - 0.5
+
+        def rng(c0, c1):
+            lo = jnp.floor(jnp.minimum(c0, c1) + 0.5)
+            hi = jnp.floor(jnp.maximum(c0, c1) + 0.5)
+            return lo, hi
+
+        jlo, jhi = rng(ja0, ja1)
+        ilo, ihi = rng(ib0, ib1)
+        jalo, jahi = rng(jaa0, jaa1)
+        ialo, iahi = rng(iba0, iba1)
+
+        empty = ((jhi < 0.0) | (jlo > float(LB - 1))
+                 | (ihi < 0.0) | (ilo > float(SB - 1)))
+
+        def wstart(lo, n, wn, align):
+            s = jnp.clip(lo, 0.0, float(n - wn))
+            return jnp.floor(s / align) * align
+
+        def fits1(lo, hi, n, wn, align):
+            return jnp.minimum(hi, float(n - 1)) < \
+                wstart(lo, n, wn, align) + float(wn)
+
+        def fits(rung):
+            sw, lw, saw, law = rung
+            return (fits1(jlo, jhi, LB, lw, 128.0)
+                    & fits1(ilo, ihi, SB, sw, 8.0)
+                    & fits1(jalo, jahi, LA, law, 128.0)
+                    & fits1(ialo, iahi, SA, saw, 8.0))
+
+        def gather_win(rung):
+            sw, lw, saw, law = rung
+            wl = wstart(jlo, LB, lw, 128.0)
+            ws = wstart(ilo, SB, sw, 8.0)
+            wla = wstart(jalo, LA, law, 128.0)
+            wsa = wstart(ialo, SA, saw, 8.0)
+            wl_i = pl.multiple_of(wl.astype(jnp.int32), 128)
+            ws_i = pl.multiple_of(ws.astype(jnp.int32), 8)
+            wla_i = pl.multiple_of(wla.astype(jnp.int32), 128)
+            wsa_i = pl.multiple_of(wsa.astype(jnp.int32), 8)
+            Ec = onehot_cols(lw, ja, wl)
+            Ert = onehot_rows_t(sw, ib, ws)
+            dh = dhi_ref[pl.ds(ws_i, sw), pl.ds(wl_i, lw)]
+            dl = dlo_ref[pl.ds(ws_i, sw), pl.ds(wl_i, lw)]
+            tmp_hi = jnp.dot(dh, Ec, preferred_element_type=f32)
+            tmp_lo = jnp.dot(dl, Ec, preferred_element_type=f32)
+            dval = (jnp.dot(Ert, tmp_hi.astype(_BF),
+                            preferred_element_type=f32)
+                    + jnp.dot(Ert, tmp_lo.astype(_BF),
+                              preferred_element_type=f32))
+            ab = abf_ref[pl.ds(wsa_i, saw), pl.ds(wla_i, law)]
+            tmpa = jnp.dot(ab, onehot_cols(law, jaa, wla),
+                           preferred_element_type=f32)
+            aval = jnp.dot(onehot_rows_t(saw, iba, wsa),
+                           tmpa.astype(_BF), preferred_element_type=f32)
+            dval_scr[:] = dval
+            aval_scr[:] = aval
+
+        conds = []
+        prev_miss = ~empty
+        for rung in ladder:
+            f = fits(rung)
+            conds.append(prev_miss & f)
+            prev_miss = prev_miss & ~f
+        # mutually exclusive: empty / each rung / full fallback
+
+        @pl.when(empty)
+        def _():
+            dval_scr[:] = jnp.zeros_like(dval_scr)
+            aval_scr[:] = jnp.zeros_like(aval_scr)
+
+        for cond, rung in zip(conds, ladder):
+            @pl.when(cond)
+            def _(rung=rung):
+                gather_win(rung)
+
+        @pl.when(prev_miss)
+        def _():
+            gather_full()
+
+    dval = dval_scr[:]
+    aval = aval_scr[:]
 
     # ---- fusion elementwise math (matches ops/fusion.integrate_tsdf) --
     camx = capx0 * px + (capy0 * qy + cc0)
@@ -152,10 +262,29 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     wo_ref[0] = w_out
 
 
-@functools.partial(jax.jit, static_argnames=("SB", "LB", "XB", "interpret"))
+def _make_ladder(SB, LB, SA, LA):
+    """Quarter/half window rungs (full grid is the fallback). Sizes are
+    lane/sublane aligned; rungs that don't shrink the grid are dropped."""
+    def rup(v, m):
+        return -(-v // m) * m
+
+    rungs = []
+    for den in (4, 2):
+        rung = (min(rup(max(SB // den, 8), 8), SB),
+                min(rup(max(LB // den, 128), 128), LB),
+                min(rup(max(SA // den, 8), 8), SA),
+                min(rup(max(LA // den, 128), 128), LA))
+        if rung != (SB, LB, SA, LA) and rung not in rungs:
+            rungs.append(rung)
+    return tuple(rungs)
+
+
+@functools.partial(jax.jit, static_argnames=("SB", "LB", "XB",
+                                             "windowed", "interpret"))
 def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
                              rel_trans, intr, voxel_size, truncdist,
                              max_weight, SB: int, LB: int, XB: int,
+                             windowed: bool = False,
                              interpret: bool = False):
     Z, Y, X = tsdf.shape
     H, W = depth.shape
@@ -194,7 +323,9 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
 
     NX = X // XB
     grid = (Z, NX)
-    kern = functools.partial(_kernel, Wimg=W, Himg=H, XB=XB)
+    ladder = _make_ladder(SB, LB, SA, LA) if windowed else ()
+    kern = functools.partial(_kernel, Wimg=W, Himg=H, XB=XB,
+                             ladder=ladder)
 
     vol_spec = pl.BlockSpec((1, Y, XB), lambda z, j: (z, 0, j),
                             memory_space=pltpu.VMEM)
@@ -220,6 +351,8 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
         out_specs=(vol_spec, vol_spec),
         out_shape=(jax.ShapeDtypeStruct((Z, Y, X), f32),
                    jax.ShapeDtypeStruct((Z, Y, X), f32)),
+        scratch_shapes=[pltpu.VMEM((Y, XB), f32),
+                        pltpu.VMEM((Y, XB), f32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=4 * Z * Y * X * 4,
             transcendentals=2 * Z * Y * X),
@@ -233,6 +366,7 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
                                  voxel_size, truncdist, max_weight,
                                  oversample: float = 1.25, grid=None,
                                  axis: int = 2, x_block: int = 0,
+                                 windowed: bool = False,
                                  interpret: bool = False
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for
@@ -265,7 +399,8 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
         tsdf, weights, depth, jnp.asarray(assoc_weights, jnp.float32),
         rel_rot_oc, jnp.asarray(rel_trans_oc), jnp.asarray(intr),
         jnp.float32(voxel_size), jnp.float32(truncdist),
-        jnp.float32(max_weight), SB=SB, LB=LB, XB=XB, interpret=interpret)
+        jnp.float32(max_weight), SB=SB, LB=LB, XB=XB, windowed=windowed,
+        interpret=interpret)
     if axis != 2:
         t_new = jnp.transpose(t_new, AXIS_UNTRANSPOSE[axis])
         w_new = jnp.transpose(w_new, AXIS_UNTRANSPOSE[axis])

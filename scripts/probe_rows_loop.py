@@ -54,11 +54,15 @@ def main():
     print(f"RPC floor: {floor*1e3:.1f} ms", flush=True)
 
     def carried(body):
-        """20x loop; indices perturbed by previous sum (always +0)."""
+        """20x loop; indices perturbed by previous sum (always +0 at
+        runtime, but not provably zero to XLA: ``acc`` is a sum of
+        non-negative gathers only at runtime, so ``min(acc, 0)`` cannot
+        be algebraically folded and the gathers stay inside the loop)."""
         def fn(vol, zi, yi, xi):
             def step(c):
                 i, acc = c
-                s = body(vol, zi + (acc.astype(jnp.int32) & 0), yi, xi)
+                pert = jnp.minimum(acc, 0.0).astype(jnp.int32)
+                s = body(vol, zi + pert, yi, xi)
                 return i + 1, acc + s
             return lax.while_loop(lambda c: c[0] < K, step,
                                   (jnp.int32(0), jnp.float32(0)))
