@@ -26,7 +26,13 @@ def _flatten_state(state) -> Dict[str, np.ndarray]:
     out = {}
     for name in ("bg_tsdf", "bg_weights", "bg_grads", "bg_pose", "bg_assoc",
                  "cam_pose"):
-        out[name] = np.asarray(getattr(state, name))
+        arr = np.asarray(getattr(state, name))
+        # compressed (bf16) volume storage has no portable npz dtype;
+        # checkpoints always hold f32 (load casts back to the state dtype)
+        if arr.dtype not in (np.float32, np.float64, np.int32, np.int64,
+                             np.bool_):
+            arr = arr.astype(np.float32)
+        out[name] = arr
     for name in ("tsdf", "weights", "grads", "fg_counts", "pose",
                  "voxel_size", "truncdist", "active", "visible", "object_id",
                  "assoc"):
@@ -98,7 +104,7 @@ def load_checkpoint(pipe, path: str) -> None:
             raise ValueError(
                 f"checkpoint shape mismatch for {name}: "
                 f"{new.shape} vs {cur.shape} — params differ")
-        state = state.replace(**{name: jnp.asarray(new)})
+        state = state.replace(**{name: jnp.asarray(new, cur.dtype)})
     objs = state.objs
     for name in ("tsdf", "weights", "grads", "fg_counts", "pose",
                  "voxel_size", "truncdist", "active", "visible", "object_id",
@@ -106,7 +112,8 @@ def load_checkpoint(pipe, path: str) -> None:
         objs = objs.replace(**{name: jnp.asarray(arrays[f"objs.{name}"])})
     # gradients may be stale on the sweep path (not maintained per frame)
     from emfusion_tpu.ops.fusion import compute_gradients
-    state = state.replace(bg_grads=compute_gradients(state.bg_tsdf))
+    state = state.replace(bg_grads=compute_gradients(
+        state.bg_tsdf.astype(jnp.float32)))
     pipe.state = state.replace(objs=objs)
 
     pipe.frame = int(meta["frame"])

@@ -128,6 +128,15 @@ class Params:
     # stencil kernel on TPU (zero-pad borders), "xla" the 49-tap fused
     # XLA graph (reflect-101 borders, exact reference semantics).
     bilateral_backend: str = "auto"
+    # Background-volume storage dtype. The fused update streams
+    # 4 x res^3 elements through HBM every frame (read+write tsdf and
+    # weights) and is bandwidth-bound; "bfloat16" halves that traffic.
+    # Quantization: tsdf values are trunc-normalized in [-1, 1], so bf16
+    # costs <= 2^-9 relative (~0.2 mm at the default 10 cm trunc dist);
+    # weights lose sub-ULP increments near the 64 cap (slightly
+    # recency-weighted averaging). "auto" = bfloat16 on TPU, float32
+    # elsewhere; gated by tests/test_accuracy_gate.py.
+    volume_dtype: str = "auto"
 
     @property
     def intr(self) -> np.ndarray:
@@ -193,7 +202,7 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
             raise ValueError("volumePose expects 3 floats (translation)")
     elif key == "fusion_backend":
         params.fusion_backend = v.strip()
-    elif key in ("raycast_backend", "bilateral_backend"):
+    elif key in ("raycast_backend", "bilateral_backend", "volume_dtype"):
         setattr(params, key, v.strip())
     elif key in ("ignore_person", "matmul_bf16"):
         setattr(params, key,

@@ -69,8 +69,11 @@ def capture_neighborhoods(vols: jnp.ndarray, points_cam: jnp.ndarray,
     flat = ((zc[:, None, None, :] * Y + yc[None, :, None, :]) * X
             + xc[None, None, :, :])                        # (W, W, W, N)
     flat = flat.reshape(-1)
+    # cache is always f32 regardless of the volumes' storage dtype
+    # (bf16-stored volumes decode at capture time; LM math stays f32)
     cache = jnp.stack(
-        [jnp.take(vols[c].reshape(-1), flat) for c in range(C)])
+        [jnp.take(vols[c].reshape(-1), flat).astype(jnp.float32)
+         for c in range(C)])
     N = points_cam.shape[1]
     return cache.reshape(C, WIN, WIN, WIN, N), jnp.stack([ax, ay, az])
 

@@ -242,8 +242,9 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     tsdf_meas = jnp.sign(sdf) * jnp.minimum(1.0, jnp.abs(sdf) / trunc)
     new_w = jnp.where(sdf < trunc, aval, 1.0)
 
-    tsl = t_ref[0]
-    wsl = w_ref[0]
+    # volumes may be stored compressed (bf16) in HBM; all math is f32
+    tsl = t_ref[0].astype(f32)
+    wsl = w_ref[0].astype(f32)
     denom = wsl + new_w
     do_update = in_band & (denom > 0.0)
     fused = (wsl * tsl + new_w * tsdf_meas) / jnp.where(do_update, denom,
@@ -258,8 +259,8 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     reset |= (wsl == 0.0) & ~in_front
     t_out = jnp.where(reset, 0.0, t_out)
 
-    to_ref[0] = t_out
-    wo_ref[0] = w_out
+    to_ref[0] = t_out.astype(to_ref.dtype)
+    wo_ref[0] = w_out.astype(wo_ref.dtype)
 
 
 def _make_ladder(SB, LB, SA, LA):
@@ -349,12 +350,14 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
             vol_spec,
         ],
         out_specs=(vol_spec, vol_spec),
-        out_shape=(jax.ShapeDtypeStruct((Z, Y, X), f32),
-                   jax.ShapeDtypeStruct((Z, Y, X), f32)),
+        out_shape=(jax.ShapeDtypeStruct((Z, Y, X), tsdf.dtype),
+                   jax.ShapeDtypeStruct((Z, Y, X), weights.dtype)),
         scratch_shapes=[pltpu.VMEM((Y, XB), f32),
                         pltpu.VMEM((Y, XB), f32)],
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=4 * Z * Y * X * 4,
+            flops=flops,
+            bytes_accessed=2 * Z * Y * X * (tsdf.dtype.itemsize
+                                            + weights.dtype.itemsize),
             transcendentals=2 * Z * Y * X),
         interpret=interpret,
     )(coef, glob, D_hi, D_lo, A_bf, tsdf, weights)
@@ -379,8 +382,10 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
     cut VMEM at unchanged MAC count (the (SB,LB)x(LB,XB) and
     (Y,SB)x(SB,XB) products tile exactly).
     """
-    tsdf = jnp.asarray(tsdf, jnp.float32)
-    weights = jnp.asarray(weights, jnp.float32)
+    # volumes keep their storage dtype (f32 or compressed bf16); the
+    # kernel reads/writes that dtype and computes in f32 in VMEM
+    tsdf = jnp.asarray(tsdf)
+    weights = jnp.asarray(weights)
     rel_rot_oc = jnp.asarray(rel_rot_oc)
     depth = jnp.asarray(depth, jnp.float32)
     H, W = depth.shape

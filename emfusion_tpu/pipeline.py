@@ -133,6 +133,15 @@ class EMFusionPipeline:
             sampler=os.environ.get("EMF_TRACK_SAMPLER", "auto"))
         self.colormap = make_colormap()
 
+        # background volume storage dtype (bf16 halves the HBM traffic of
+        # the bandwidth-bound fused update; see Params.volume_dtype)
+        vd = params.volume_dtype
+        if vd == "auto":
+            vd = ("bfloat16" if jax.default_backend() not in ("cpu",)
+                  else "float32")
+        self._vol_dtype = (jnp.bfloat16 if vd == "bfloat16"
+                           else jnp.float32)
+
         self.state = self._init_state()
         self._next_id = 1
         self.meta: Dict[int, ObjectMeta] = {}
@@ -191,8 +200,8 @@ class EMFusionPipeline:
             assoc=jnp.zeros((K, H, W), f32),
         )
         return PipelineState(
-            bg_tsdf=jnp.zeros((Z, Y, X), f32),
-            bg_weights=jnp.zeros((Z, Y, X), f32),
+            bg_tsdf=jnp.zeros((Z, Y, X), self._vol_dtype),
+            bg_weights=jnp.zeros((Z, Y, X), self._vol_dtype),
             bg_grads=jnp.zeros((3, Z, Y, X), f32),
             bg_pose=jnp.asarray(p.volume_pose_matrix()),
             bg_assoc=jnp.ones((H, W), f32),   # EMFusion.cpp:55
@@ -489,12 +498,15 @@ class EMFusionPipeline:
                 state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
                 rel_bg_oc[:3, :3], rel_bg_oc[:3, 3], intr, bg_voxel,
                 bg_trunc, tsdfp.maxTSDFWeight, **kw)
+            # preserve the storage dtype (XLA paths compute/return f32)
+            bg_t = bg_t.astype(state.bg_tsdf.dtype)
+            bg_w = bg_w.astype(state.bg_weights.dtype)
             # the gradient volume is only consumed by the lock-step march
             # raycast; tracking samples gradients from TSDF differences
             # and exports compute gradients on demand. Skipping it on the
             # sweep path saves a 4x-volume-traffic pass per frame.
-            bg_g = (compute_gradients(bg_t) if rc_backend == "march"
-                    else state.bg_grads)
+            bg_g = (compute_gradients(bg_t.astype(jnp.float32))
+                    if rc_backend == "march" else state.bg_grads)
 
             o = state.objs
             state = state.replace(bg_tsdf=bg_t, bg_weights=bg_w,

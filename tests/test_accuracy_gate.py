@@ -2,7 +2,8 @@
 
 The TPU defaults take shortcuts the exact path does not: pencil fusion +
 sweep raycast, tracking on a stride-3 pixel grid, E-step on a half-scale
-grid, bf16 matmul chains, and the capture-cache LM sampler. Nothing else
+grid, bf16 matmul chains, bf16 background-volume storage, and the
+capture-cache LM sampler. Nothing else
 in CI pins their accuracy; this module runs both configurations on a
 synthetic sequence with ground-truth camera poses and gates
 
@@ -66,11 +67,13 @@ def _run(scene, frames, **over):
 
 
 EXACT = dict(fusion_backend="gather", raycast_backend="march",
-             tracking_stride=1, estep_scale=1, matmul_bf16=False)
+             tracking_stride=1, estep_scale=1, matmul_bf16=False,
+             volume_dtype="float32")
 # the TPU defaults (pipeline auto-selects these on accelerators;
 # spelled out so the gate can run on CPU)
 PROD = dict(fusion_backend="pencil", raycast_backend="sweep",
-            tracking_stride=3, estep_scale=2, matmul_bf16=True)
+            tracking_stride=3, estep_scale=2, matmul_bf16=True,
+            volume_dtype="bfloat16")
 
 
 @pytest.fixture(scope="module")

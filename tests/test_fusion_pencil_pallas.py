@@ -86,6 +86,26 @@ def test_pencil_pallas_windowed_bitexact(x_block, tilt_deg):
     np.testing.assert_array_equal(np.asarray(w_win), np.asarray(w_full))
 
 
+def test_pencil_pallas_bf16_storage():
+    """bf16-stored volumes: outputs match the f32-storage kernel to the
+    storage quantization (tsdf in [-1,1]: ULP <= 2^-8; weights <= 3 here:
+    ULP <= 2^-6 plus one rounded accumulate)."""
+    rng = np.random.RandomState(3)
+    (tsdf, weights, depth, assoc, rot, tr, intr, voxel,
+     trunc) = _setup(rng)
+    t_f32, w_f32 = integrate_tsdf_pencil_pallas(
+        tsdf, weights, depth, assoc, rot, tr, intr, voxel, trunc, 64.0,
+        interpret=True)
+    t_bf, w_bf = integrate_tsdf_pencil_pallas(
+        tsdf.astype(jnp.bfloat16), weights.astype(jnp.bfloat16), depth,
+        assoc, rot, tr, intr, voxel, trunc, 64.0, interpret=True)
+    assert t_bf.dtype == jnp.bfloat16 and w_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(t_bf, np.float32), np.asarray(t_f32), atol=1.6e-2)
+    np.testing.assert_allclose(
+        np.asarray(w_bf, np.float32), np.asarray(w_f32), atol=4e-2)
+
+
 @pytest.mark.parametrize("axis", [0, 1, 2])
 def test_pencil_pallas_axes(axis):
     rng = np.random.RandomState(1)
