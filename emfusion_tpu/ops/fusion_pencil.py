@@ -39,6 +39,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 # Scan-axis selection: the pencil/sweep scan runs over the volume's
@@ -162,8 +163,14 @@ def _nearest_matrix(src_size: int, out_coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def _split_bf16(x):
-    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x to ~1e-6 relative."""
-    hi = x.astype(jnp.bfloat16)
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x to ~1e-6 relative.
+
+    The optimization barrier is load-bearing: XLA's algebraic simplifier
+    treats removing an f32->bf16->f32 convert round-trip as a legal
+    precision-INCREASING rewrite, which silently turns ``x - f32(hi)``
+    into ``x - x`` = 0 and collapses the split to a single bf16 chain
+    (observed on XLA:TPU and XLA:CPU)."""
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
 
@@ -204,12 +211,108 @@ def _rup(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def select_pixels_mxu(img, pw, pu, valid, row_block: int = 8,
+                      ladder=(16, 64), bf16: bool = True):
+    """``where(valid, img[pw, pu], 0)`` without an XLA gather.
+
+    XLA:TPU lowers an arbitrary gather to a ~0.11 G elem/s scalar loop
+    (measured v5e) — ~5 ms for the 537k-element stage-1 pencil warp.
+    This formulation selects the same values at MXU/VPU rate: for each
+    block of ``row_block`` output rows, the needed image rows span
+    [min(pw), max(pw)] (projective warps map output rows to near-linear
+    image bands); a dynamic slice of the smallest fitting ladder rung of
+    image rows feeds a one-hot row-select matmul, and columns are then
+    selected with an elementwise one-hot multiply + lane reduction.
+
+    Exactness: one-hot row/column selection of (hi, lo) bf16-split
+    values reconstructs f32 exactly (selection never mixes values);
+    ``bf16=False`` runs a single f32 chain instead.
+
+    Args: ``pw``/``pu`` int32 indices already clipped to the image;
+    ``valid`` the out-of-image mask applied to the result.
+    """
+    f32 = jnp.float32
+    H, W = img.shape
+    nS, nL = pw.shape
+    SBK = row_block
+    npad = (-nS) % SBK
+    if npad:
+        pw = jnp.pad(pw, ((0, npad), (0, 0)))
+        pu = jnp.pad(pu, ((0, npad), (0, 0)))
+    nB = pw.shape[0] // SBK
+    pwf = pw.astype(f32).reshape(nB, SBK * nL)
+    puf = pu.astype(f32).reshape(nB, SBK * nL)
+
+    if bf16:
+        band_hi_full = img.astype(jnp.bfloat16)
+        band_lo_full = (img - band_hi_full.astype(f32)
+                        ).astype(jnp.bfloat16)
+    else:
+        band_hi_full = img
+        band_lo_full = None
+    col_iota = jnp.arange(W, dtype=f32)[None, :]
+
+    rungs = tuple(r for r in sorted(ladder) if r < H) + (H,)
+
+    def block(_, xs):
+        pwb, pub = xs                                  # (SBK*nL,)
+        lo_r = jnp.min(pwb)
+        hi_r = jnp.max(pwb)
+
+        def wstart(WH):
+            s = jnp.clip(lo_r, 0.0, float(H - WH))
+            return jnp.floor(s / 8.0) * 8.0
+
+        def mk(WH):
+            def branch(_):
+                ws = wstart(WH)
+                ws_i = ws.astype(jnp.int32)
+                row_iota = jnp.arange(WH, dtype=f32)[None, :]
+                E1 = (row_iota == (pwb[:, None] - ws))  # (SBK*nL, WH)
+                if bf16:
+                    bh = lax.dynamic_slice(band_hi_full, (ws_i, 0),
+                                           (WH, W))
+                    bl = lax.dynamic_slice(band_lo_full, (ws_i, 0),
+                                           (WH, W))
+                    E1b = E1.astype(jnp.bfloat16)
+                    P = (jnp.dot(E1b, bh, preferred_element_type=f32)
+                         + jnp.dot(E1b, bl, preferred_element_type=f32))
+                else:
+                    b = lax.dynamic_slice(band_hi_full, (ws_i, 0),
+                                          (WH, W))
+                    P = jnp.dot(E1.astype(f32), b,
+                                precision=jax.lax.Precision.DEFAULT)
+                E2 = (col_iota == puf_b[:, None])       # (SBK*nL, W)
+                return jnp.sum(P * E2, axis=1)
+            return branch
+
+        puf_b = pub
+
+        idx = len(rungs) - 1
+        sel = jnp.int32(idx)
+        for i in range(len(rungs) - 2, -1, -1):
+            WH = rungs[i]
+            fits = hi_r < wstart(WH) + float(WH)
+            sel = jnp.where(fits, jnp.int32(i), sel)
+        val = lax.switch(sel, [mk(r) for r in rungs], None)
+        return None, val
+
+    _, vals = lax.scan(block, None, (pwf, puf))
+    out = vals.reshape(nB * SBK, nL)[:nS]
+    return jnp.where(valid, out, 0.0)
+
+
 def warp_image_to_grid(img, Bmat, H: int, W: int, a0, b0, da, db,
-                       nS: int, nL: int):
+                       nS: int, nL: int, mxu: bool | None = None,
+                       bf16: bool = True):
     """Stage-1 pencil warp: resample ``img`` (H, W) onto the (nS, nL)
     reference-plane grid spanning [a0, a0+da) x [b0, b0+db) in B coords —
-    the one amortized XLA gather of the pencil factorization. Shared by
-    the jnp scan path and the Pallas slice kernel."""
+    the one amortized resample of the pencil factorization. Shared by
+    the jnp scan path and the Pallas slice kernel.
+
+    ``mxu`` selects the matmul-select formulation (default on TPU, where
+    the plain gather runs on a scalar loop); the gather path elsewhere.
+    """
     f32 = jnp.float32
     jj = (jnp.arange(nL, dtype=f32) + 0.5) / nL * da + a0
     ii = (jnp.arange(nS, dtype=f32) + 0.5) / nS * db + b0
@@ -225,6 +328,10 @@ def warp_image_to_grid(img, Bmat, H: int, W: int, a0, b0, da, db,
     pw = jnp.clip(jnp.floor(wg + 0.5), 0, H - 1).astype(jnp.int32)
     inb = (ug > -0.5) & (ug < W - 0.5) & (wg > -0.5) \
         & (wg < H - 0.5) & (hom_z > 0)
+    if mxu is None:
+        mxu = jax.default_backend() not in ("cpu",)
+    if mxu:
+        return select_pixels_mxu(img, pw, pu, inb, bf16=bf16)
     flat = pw * W + pu
     return jnp.where(inb, jnp.take(img.reshape(-1), flat), 0.0)
 

@@ -44,15 +44,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from emfusion_tpu.ops.fusion_pencil import (
     AXIS_COORD, AXIS_TRANSPOSE, AXIS_UNTRANSPOSE,
-    _pencil_setup, _window_from_quad, warp_image_to_grid,
+    _pencil_setup, _split_bf16, _window_from_quad, warp_image_to_grid,
 )
 
 _BF = jnp.bfloat16
 
 
 def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
-            t_ref, w_ref, to_ref, wo_ref, dval_scr, aval_scr, *,
+            t_ref, w_ref, to_ref, wo_ref, *scratch,
             Wimg: int, Himg: int, XB: int, ladder=()):
+    # scratch = (dval_scr, aval_scr) on the windowed path only (the
+    # pl.when rungs need a common landing buffer); the unwindowed path
+    # keeps dval/aval in registers — scratch would push VMEM past the
+    # point where the grid pipeline can double-buffer the volume blocks
+    dval_scr, aval_scr = scratch if scratch else (None, None)
     f32 = jnp.float32
     z = pl.program_id(0)
     ka, ca = coef_ref[z, 0], coef_ref[z, 1]
@@ -101,23 +106,32 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     def gather_full():
         Ec = onehot_cols(LB, ja)
         Ert = onehot_rows_t(SB, ib)
-        tmp_hi = jnp.dot(dhi_ref[:], Ec, preferred_element_type=f32)
-        tmp_lo = jnp.dot(dlo_ref[:], Ec, preferred_element_type=f32)
+        tmp_hi = jnp.dot(dhi_ref[:], Ec, preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
+        tmp_lo = jnp.dot(dlo_ref[:], Ec, preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
         # tmp_* entries are single selected bf16 values -> recast exact
         dval = (jnp.dot(Ert, tmp_hi.astype(_BF),
-                        preferred_element_type=f32)
+                        preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
                 + jnp.dot(Ert, tmp_lo.astype(_BF),
-                          preferred_element_type=f32))
+                          preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT))
         Eca = onehot_cols(LA, jaa)
         Erta = onehot_rows_t(SA, iba)
-        tmpa = jnp.dot(abf_ref[:], Eca, preferred_element_type=f32)
+        tmpa = jnp.dot(abf_ref[:], Eca, preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
         aval = jnp.dot(Erta, tmpa.astype(_BF),
-                       preferred_element_type=f32)
+                       preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
+        if dval_scr is None:
+            return dval, aval
         dval_scr[:] = dval
         aval_scr[:] = aval
+        return None
 
     if not ladder:
-        gather_full()
+        dval, aval = gather_full()
     else:
         # ---- per-program window ladder ------------------------------
         # The one-hot selection only reads the B-grid rows/cols that the
@@ -178,17 +192,23 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
             Ert = onehot_rows_t(sw, ib, ws)
             dh = dhi_ref[pl.ds(ws_i, sw), pl.ds(wl_i, lw)]
             dl = dlo_ref[pl.ds(ws_i, sw), pl.ds(wl_i, lw)]
-            tmp_hi = jnp.dot(dh, Ec, preferred_element_type=f32)
-            tmp_lo = jnp.dot(dl, Ec, preferred_element_type=f32)
+            tmp_hi = jnp.dot(dh, Ec, preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
+            tmp_lo = jnp.dot(dl, Ec, preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
             dval = (jnp.dot(Ert, tmp_hi.astype(_BF),
-                            preferred_element_type=f32)
+                            preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
                     + jnp.dot(Ert, tmp_lo.astype(_BF),
-                              preferred_element_type=f32))
+                              preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT))
             ab = abf_ref[pl.ds(wsa_i, saw), pl.ds(wla_i, law)]
             tmpa = jnp.dot(ab, onehot_cols(law, jaa, wla),
-                           preferred_element_type=f32)
+                           preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
             aval = jnp.dot(onehot_rows_t(saw, iba, wsa),
-                           tmpa.astype(_BF), preferred_element_type=f32)
+                           tmpa.astype(_BF), preferred_element_type=f32,
+                   precision=lax.Precision.DEFAULT)
             dval_scr[:] = dval
             aval_scr[:] = aval
 
@@ -214,8 +234,8 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
         def _():
             gather_full()
 
-    dval = dval_scr[:]
-    aval = aval_scr[:]
+        dval = dval_scr[:]
+        aval = aval_scr[:]
 
     # ---- fusion elementwise math (matches ops/fusion.integrate_tsdf) --
     camx = capx0 * px + (capy0 * qy + cc0)
@@ -295,13 +315,21 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
         rel_rot, rel_trans, intr, voxel_size, Z, Y, X)
     a0, b0, da, db = _window_from_quad(Binv, H, W, abg=abg, X=X, Y=Y)
 
-    D_B = warp_image_to_grid(depth, Bmat, H, W, a0, b0, da, db, SB, LB)
     SA = max(8, (SB // 2 + 7) // 8 * 8)
     LA = max(128, (LB // 2 + 127) // 128 * 128)
-    A_B = warp_image_to_grid(assoc, Bmat, H, W, a0, b0, da, db, SA, LA)
+    if interpret or jax.default_backend() in ("cpu",):
+        warp = warp_image_to_grid
+    else:
+        # stage 1 on the Pallas warp kernel (the XLA gather is a
+        # ~0.11 G elem/s scalar loop; the one-hot XLA fallback spills an
+        # (outputs x W) intermediate to HBM)
+        from emfusion_tpu.ops.pallas.warp_pallas import (
+            warp_image_to_grid_pallas)
+        warp = warp_image_to_grid_pallas
+    D_B = warp(depth, Bmat, H, W, a0, b0, da, db, SB, LB)
+    A_B = warp(assoc, Bmat, H, W, a0, b0, da, db, SA, LA)
 
-    D_hi = D_B.astype(_BF)
-    D_lo = (D_B - D_hi.astype(f32)).astype(_BF)
+    D_hi, D_lo = _split_bf16(D_B)
     A_bf = A_B.astype(_BF)
 
     gamma = abg[:, 2]
@@ -352,8 +380,8 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
         out_specs=(vol_spec, vol_spec),
         out_shape=(jax.ShapeDtypeStruct((Z, Y, X), tsdf.dtype),
                    jax.ShapeDtypeStruct((Z, Y, X), weights.dtype)),
-        scratch_shapes=[pltpu.VMEM((Y, XB), f32),
-                        pltpu.VMEM((Y, XB), f32)],
+        scratch_shapes=([pltpu.VMEM((Y, XB), f32),
+                         pltpu.VMEM((Y, XB), f32)] if ladder else []),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * Z * Y * X * (tsdf.dtype.itemsize

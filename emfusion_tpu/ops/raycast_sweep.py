@@ -178,10 +178,18 @@ def _raycast_sweep(tsdf, weights, rel_rot_oc, rel_trans_oc, intr,
     qw = jnp.where(jnp.abs(q[2]) < 1e-12, 1e-12, q[2])
     a_pix = q[0] / qw
     b_pix = q[1] / qw
-    ja = jnp.clip(jnp.floor((a_pix - a0) / da * LB), 0, LB - 1)
-    ib = jnp.clip(jnp.floor((b_pix - b0) / db * SB), 0, SB - 1)
-    flat = (ib * LB + ja).astype(jnp.int32)
-    t_star = jnp.take(ts_B.reshape(-1), flat)
+    if jax.default_backend() in ("cpu",):
+        ja = jnp.clip(jnp.floor((a_pix - a0) / da * LB), 0, LB - 1)
+        ib = jnp.clip(jnp.floor((b_pix - b0) / db * SB), 0, SB - 1)
+        flat = (ib * LB + ja).astype(jnp.int32)
+        t_star = jnp.take(ts_B.reshape(-1), flat)
+    else:
+        # pixel->B-grid lookup via the Pallas warp kernel: the plain
+        # 307k-element gather runs on XLA:TPU's scalar loop (~3 ms)
+        from emfusion_tpu.ops.pallas.warp_pallas import (
+            select_grid_at_pixels_pallas)
+        t_star = select_grid_at_pixels_pallas(ts_B, Binv, a0, b0, da, db,
+                                              H, W)
     hit = t_star > 0.0
 
     # ---- vertices + normals in camera coords ---------------------------

@@ -471,9 +471,25 @@ class EMFusionPipeline:
 
         backend = p.fusion_backend
         if backend == "auto":
-            backend = ("pencil" if jax.default_backend() not in ("cpu",)
+            backend = ("pallas" if jax.default_backend() not in ("cpu",)
                        else "gather")
-        if backend == "pencil":
+        if backend == "pallas":
+            # Pallas slice kernel: VMEM-resident warped grids + on-the-fly
+            # one-hot matmul gathers + fused elementwise update; streams
+            # the volume in (1, Y, X) blocks at the storage dtype.
+            import functools as _ft
+            from emfusion_tpu.ops.pallas.fusion_pencil_pallas import \
+                integrate_tsdf_pencil_pallas
+            fuse_fn = _ft.partial(
+                integrate_tsdf_pencil_pallas,
+                interpret=jax.default_backend() == "cpu")
+            # object volumes stay on the XLA pencil path: the call is
+            # vmapped over the pool and pallas_call under vmap would
+            # re-trace per slot; their 64^3 grids are not HBM-bound.
+            obj_fuse_fn = _ft.partial(integrate_tsdf_pencil,
+                                      bf16=p.matmul_bf16, grid=(256, 256),
+                                      windowed=False)
+        elif backend == "pencil":
             import functools as _ft
             fuse_fn = _ft.partial(integrate_tsdf_pencil,
                                   bf16=p.matmul_bf16)
@@ -493,7 +509,8 @@ class EMFusionPipeline:
             object slots (visible ones actually update). ``bg_axis``:
             static scan axis for the background pencil fusion."""
             rel_bg_oc = pose_inverse(state.cam_pose) @ state.bg_pose
-            kw = {"axis": bg_axis} if backend == "pencil" else {}
+            kw = ({"axis": bg_axis}
+                  if backend in ("pencil", "pallas") else {})
             bg_t, bg_w = fuse_fn(
                 state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
                 rel_bg_oc[:3, :3], rel_bg_oc[:3, 3], intr, bg_voxel,
@@ -599,7 +616,7 @@ class EMFusionPipeline:
         self._raycast_all = jax.jit(raycast_all)
         self._raycast_subset = jax.jit(raycast_subset,
                                        static_argnames=("bg_axis",))
-        self._scan_axis_dynamic = backend == "pencil" or \
+        self._scan_axis_dynamic = backend in ("pencil", "pallas") or \
             rc_backend == "sweep"
         # raw (unjitted) versions for custom jit wrapping (sharded runs,
         # __graft_entry__, benchmarks)

@@ -74,3 +74,22 @@ def test_pencil_sweep_bf16_close(frames):
     for f in f32.poses:
         dt = np.linalg.norm(f32.poses[f][:3, 3] - bf.poses[f][:3, 3])
         assert dt < 0.005, (f, dt)
+
+
+def test_pallas_fusion_backend_matches_pencil(frames):
+    """The production TPU fusion backend (Pallas slice kernel, interpret
+    mode on CPU) must track like the XLA pencil path, with bf16 volume
+    storage enabled (the full TPU production combination)."""
+    scene, seq = frames
+    pencil = _run(scene, seq, fusion_backend="pencil",
+                  raycast_backend="sweep")
+    pallas = _run(scene, seq, fusion_backend="pallas",
+                  raycast_backend="sweep", volume_dtype="bfloat16")
+    for f in pencil.poses:
+        dt = np.linalg.norm(pencil.poses[f][:3, 3]
+                            - pallas.poses[f][:3, 3])
+        assert dt < 0.005, (f, dt)
+    a = np.asarray(pencil.state.bg_tsdf)
+    b = np.asarray(pallas.state.bg_tsdf, np.float32)
+    frac = (np.abs(a - b) > 0.1).mean()
+    assert frac < 0.02, frac

@@ -165,3 +165,35 @@ def test_windowed_matches_full(rng, axis, deg, tz):
                                          windowed=True)
     np.testing.assert_array_equal(np.asarray(t_win), np.asarray(t_full))
     np.testing.assert_array_equal(np.asarray(w_win), np.asarray(w_full))
+
+
+def test_warp_mxu_matches_gather():
+    """select_pixels_mxu / warp_image_to_grid(mxu=True) must reproduce
+    the plain-gather warp: f32 chain exactly, bf16 hi/lo to ~4e-6
+    relative (lo-rounding of the split)."""
+    import numpy as np
+    from emfusion_tpu.ops.fusion_pencil import warp_image_to_grid
+
+    rng = np.random.RandomState(0)
+    H, W = 120, 160
+    img = jnp.asarray(rng.rand(H, W).astype(np.float32) * 3.0)
+    for th_deg in (5.0, 40.0):
+        th = np.deg2rad(th_deg)
+        c, s = np.cos(th), np.sin(th)
+        Bmat = jnp.asarray(np.array(
+            [[130.0 * c, -130.0 * s, 80.0],
+             [128.0 * s, 128.0 * c, 60.0],
+             [0.02, 0.01, 1.0]], np.float32))
+        for nS, nL in ((152, 224), (96, 160)):
+            ref = warp_image_to_grid(img, Bmat, H, W, -0.4, -0.35,
+                                     0.8, 0.7, nS, nL, mxu=False)
+            f32 = warp_image_to_grid(img, Bmat, H, W, -0.4, -0.35,
+                                     0.8, 0.7, nS, nL, mxu=True,
+                                     bf16=False)
+            bf = warp_image_to_grid(img, Bmat, H, W, -0.4, -0.35,
+                                    0.8, 0.7, nS, nL, mxu=True,
+                                    bf16=True)
+            np.testing.assert_array_equal(np.asarray(f32),
+                                          np.asarray(ref))
+            np.testing.assert_allclose(np.asarray(bf), np.asarray(ref),
+                                       atol=3e-5)
