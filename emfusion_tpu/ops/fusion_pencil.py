@@ -521,13 +521,14 @@ def _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
 
         ux = (pix_x.astype(f32) - cx) / fx
         uy = (pix_y.astype(f32) - cy) / fy
-        lam = jnp.sqrt(ux * ux + uy * uy + 1.0)
-        norm_cam = jnp.sqrt(camx * camx + camy * camy + camz * camz)
-        sdf = depth_val - norm_cam / lam
+        # single-sqrt form of norm_cam / lam (bit-matches the Pallas
+        # kernel; ~1 ulp vs the reference's two-sqrt form)
+        sdf = depth_val - jnp.sqrt(
+            (camx * camx + camy * camy + camz * camz)
+            / (ux * ux + uy * uy + 1.0))
 
         in_band = valid & (sdf >= -truncdist)
-        tsdf_meas = jnp.sign(sdf) * jnp.minimum(1.0,
-                                                jnp.abs(sdf) / truncdist)
+        tsdf_meas = jnp.clip(sdf / truncdist, -1.0, 1.0)
         new_w = jnp.where(sdf < truncdist, assoc_val, 1.0)
 
         denom = wslice + new_w

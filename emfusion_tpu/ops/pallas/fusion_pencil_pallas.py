@@ -254,12 +254,13 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
 
     ux = (pix_x - cx) / fx
     uy = (pix_y - cy) / fy
-    lam = jnp.sqrt(ux * ux + uy * uy + 1.0)
-    norm_cam = jnp.sqrt(camx * camx + camy * camy + camz * camz)
-    sdf = dval - norm_cam / lam
+    # norm_cam / lam as a single sqrt of the ratio (one transcendental
+    # per voxel instead of two; same value to ~1 ulp)
+    sdf = dval - jnp.sqrt((camx * camx + camy * camy + camz * camz)
+                          / (ux * ux + uy * uy + 1.0))
 
     in_band = valid & (sdf >= -trunc)
-    tsdf_meas = jnp.sign(sdf) * jnp.minimum(1.0, jnp.abs(sdf) / trunc)
+    tsdf_meas = jnp.clip(sdf / trunc, -1.0, 1.0)
     new_w = jnp.where(sdf < trunc, aval, 1.0)
 
     # volumes may be stored compressed (bf16) in HBM; all math is f32

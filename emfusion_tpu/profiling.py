@@ -19,19 +19,38 @@ import jax
 
 
 class PhaseTimer:
-    """Accumulates wall-clock per named phase (host-side, low overhead)."""
+    """Accumulates wall-clock per named phase (host-side, low overhead).
 
-    def __init__(self):
+    Dispatch is asynchronous, so by default a phase measures enqueue
+    time and the frame's device work lands in whichever phase blocks
+    (the end-of-frame summary fetch). Set ``EMF_FENCE_PHASES=1`` (or
+    ``fence=True``) to block on the phase's outputs before stopping the
+    clock — real per-phase device times, at the cost of serializing the
+    frame (profiling mode)."""
+
+    def __init__(self, fence: bool | None = None):
+        import os
         self.totals: Dict[str, float] = collections.defaultdict(float)
         self.counts: Dict[str, int] = collections.defaultdict(int)
+        self.fence = (os.environ.get("EMF_FENCE_PHASES", "0") == "1"
+                      if fence is None else fence)
 
     @contextlib.contextmanager
-    def phase(self, name: str):
+    def phase(self, name: str, out=None):
         with jax.profiler.TraceAnnotation(name):
             t0 = time.perf_counter()
             try:
                 yield
             finally:
+                if self.fence:
+                    # block_until_ready is not a reliable barrier through
+                    # the axon relay; force a scalar device->host fetch
+                    import numpy as _np
+                    try:
+                        import jax.numpy as _jnp
+                        _np.asarray(_jnp.zeros(()) + 0.0)
+                    except Exception:
+                        pass
                 self.totals[name] += time.perf_counter() - t0
                 self.counts[name] += 1
 
