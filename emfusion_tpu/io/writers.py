@@ -99,7 +99,13 @@ def write_ply(filename: str, vertices: np.ndarray, normals: np.ndarray,
 def write_volume_bin(filename: str, vol: np.ndarray, res_xyz, voxel_size,
                      channels: int = 1) -> None:
     """Reference binary volume format (``EMFusion.cpp:1302-1313``):
-    int32[3] resolution, uint64 elem size, float32 voxel size, raw data."""
+    int32[3] resolution, uint64 elem size, float32 voxel size, raw data.
+
+    The reference format stores float32 (``EMFusion.cpp:1302-1313``);
+    bf16-stored volumes are upcast here so the on-disk format never
+    changes with the storage dtype."""
+    if vol.dtype != np.float32:
+        vol = np.asarray(vol, dtype=np.float32)
     elem = vol.dtype.itemsize * channels
     with open(filename, "wb") as f:
         f.write(_struct.pack("<3i", *[int(r) for r in res_xyz]))
@@ -142,8 +148,10 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
         else:
             write_ply(fp, verts, norms, tris)
 
+    import jax.numpy as jnp
+    bg_t = pipe.state.bg_tsdf.astype(jnp.float32)  # bf16 storage -> f32
     verts, norms, tris = extract_mesh(
-        pipe.state.bg_tsdf, compute_gradients(pipe.state.bg_tsdf),
+        bg_t, compute_gradients(bg_t),
         pipe.state.bg_weights > 0,
         float(pipe.params.globalVoxelSize),
         max_verts=pipe.params.mc_max_verts)
@@ -219,8 +227,9 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
         from emfusion_tpu.ops.marching_cubes import extract_mesh
         from emfusion_tpu.ops.fusion import compute_gradients
         import jax.numpy as jnp
+        bg_t = pipe.state.bg_tsdf.astype(jnp.float32)  # bf16 -> f32
         verts, norms, tris = extract_mesh(
-            pipe.state.bg_tsdf, compute_gradients(pipe.state.bg_tsdf),
+            bg_t, compute_gradients(bg_t),
             pipe.state.bg_weights > 0,
             float(pipe.params.globalVoxelSize),
             max_verts=pipe.params.mc_max_verts)

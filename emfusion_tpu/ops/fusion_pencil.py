@@ -244,9 +244,7 @@ def select_pixels_mxu(img, pw, pu, valid, row_block: int = 8,
     puf = pu.astype(f32).reshape(nB, SBK * nL)
 
     if bf16:
-        band_hi_full = img.astype(jnp.bfloat16)
-        band_lo_full = (img - band_hi_full.astype(f32)
-                        ).astype(jnp.bfloat16)
+        band_hi_full, band_lo_full = _split_bf16(img)
     else:
         band_hi_full = img
         band_lo_full = None

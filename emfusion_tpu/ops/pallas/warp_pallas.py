@@ -38,9 +38,13 @@ _BF = jnp.bfloat16
 
 def _warp_kernel(m_ref, hi_ref, lo_ref, out_ref, *, nS: int, nL: int,
                  SBK: int, LBK: int, rungs, round_half: bool,
-                 mask_oob: bool, grid_coords: bool = True):
+                 mask_oob: bool, H: int, W: int, grid_coords: bool = True):
+    """``H``/``W`` are the TRUE (unpadded) source dims — clip and
+    in-bounds tests must use them, not ``hi_ref.shape`` (the 8/128-padded
+    VMEM dims), or clip-only lookups past the true edge would return
+    padding zeros instead of the clamped edge value."""
     f32 = jnp.float32
-    H, W = hi_ref.shape
+    Hp, Wp = hi_ref.shape
     m00, m01, m02 = m_ref[0, 0], m_ref[0, 1], m_ref[0, 2]
     m10, m11, m12 = m_ref[0, 3], m_ref[0, 4], m_ref[0, 5]
     m20, m21, m22 = m_ref[0, 6], m_ref[0, 7], m_ref[0, 8]
@@ -90,11 +94,11 @@ def _warp_kernel(m_ref, hi_ref, lo_ref, out_ref, *, nS: int, nL: int,
         cmax = jnp.maximum(cmax, jnp.max(pu))
 
     def rstart(TH):
-        v = jnp.clip(rmin, 0.0, float(H - TH))
+        v = jnp.clip(rmin, 0.0, float(Hp - TH))
         return jnp.floor(v / 8.0) * 8.0
 
     def cstart(TW):
-        v = jnp.clip(cmin, 0.0, float(W - TW))
+        v = jnp.clip(cmin, 0.0, float(Wp - TW))
         return jnp.floor(v / 128.0) * 128.0
 
     def mk(TH, TW):
@@ -163,7 +167,7 @@ def _warp_pallas(img, M, nS: int, nL: int, SBK: int = 8, LBK: int = 128,
     kern = functools.partial(_warp_kernel, nS=nS, nL=nL, SBK=SBK,
                              LBK=LBK, rungs=rungs,
                              round_half=round_half, mask_oob=mask_oob,
-                             grid_coords=grid_coords)
+                             H=H, W=W, grid_coords=grid_coords)
     out = pl.pallas_call(
         kern,
         grid=(nSp // SBK, nLp // LBK),

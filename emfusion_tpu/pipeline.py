@@ -632,6 +632,23 @@ class EMFusionPipeline:
             return inter / jnp.maximum(union, 1)
 
         self._mask_iou = jax.jit(mask_iou)
+
+        def mask_iou_matrix(masks, seg, ids):
+            """(n, K) IoU of every detection mask against every slot's
+            reprojected model mask (seg == object_id) — ONE jitted call +
+            ONE fetch replaces the reference's per-(mask, object) loop
+            reads (EMFusion.cpp:418-455); per-pair fetches through the
+            TPU relay cost a full RTT each."""
+            obj_masks = seg[None] == ids[:, None, None]      # (K, H, W)
+
+            def one_det(m):
+                inter = jnp.sum(m[None] & obj_masks, axis=(1, 2))
+                union = jnp.sum(m[None] | obj_masks, axis=(1, 2))
+                return inter / jnp.maximum(union, 1)
+
+            return jax.vmap(one_det)(masks)                  # (n, K)
+
+        self._mask_iou_matrix = jax.jit(mask_iou_matrix)
         self._count_nonzero = jax.jit(lambda m: jnp.sum(m))
 
         def masked_percentiles(pts, valid):
@@ -648,6 +665,26 @@ class EMFusionPipeline:
             return p10, p90, n
 
         self._masked_percentiles = jax.jit(masked_percentiles)
+
+        def spawn_percentiles(pts_w, valid, poses):
+            """All device math of initNewObjVolume's geometric checks in
+            ONE call (EMFusion.cpp:495-558): world-frame percentiles of
+            the masked points plus per-slot object-frame percentiles (for
+            volumeIOU) — one fetch instead of one per active slot."""
+            p10w, p90w, nv = masked_percentiles(pts_w, valid)
+
+            def per_slot(pose):
+                T = pose_inverse(pose)
+                pts_o = pts_w @ T[:3, :3].T + T[:3, 3]
+                p10, p90, _ = masked_percentiles(pts_o, valid)
+                return p10, p90
+
+            p10o, p90o = jax.vmap(per_slot)(poses)
+            return jnp.concatenate([
+                p10w, p90w, nv[None].astype(jnp.float32),
+                p10o.reshape(-1), p90o.reshape(-1)])
+
+        self._spawn_percentiles = jax.jit(spawn_percentiles)
 
         def surface_and_new_percentiles(tsdf, weights, fgc, vs, new_pts,
                                         new_valid):
@@ -958,19 +995,22 @@ class EMFusionPipeline:
         visible = self._h_visible
 
         # --- matchSegmentation (EMFusion.cpp:418-455, 797-825)
+        # one jitted (n, K) IoU matrix + one fetch instead of a device
+        # round trip per (mask, slot) pair
+        iou_mat = None
+        if self.frame > 0 and n > 0 and np.any(active & visible):
+            iou_mat = np.asarray(self._mask_iou_matrix(
+                jnp.asarray(np.stack(masks)), jnp.asarray(seg_map),
+                jnp.asarray(ids.astype(np.int32))))
+            iou_mat = np.where((active & visible)[None, :], iou_mat, 0.0)
+        match_det: Dict[int, int] = {}   # object id -> matched det index
         for i in range(n):
             matched_id = -1
-            if self.frame > 0:
-                best_iou = 0.0
-                for k in range(self.K):
-                    if not (active[k] and visible[k]):
-                        continue
-                    obj_mask = seg_map == ids[k]
-                    iou = float(self._mask_iou(jnp.asarray(masks[i]),
-                                               jnp.asarray(obj_mask)))
-                    if iou > best_iou:
-                        best_iou = iou
-                        matched_id = int(ids[k])
+            if iou_mat is not None:
+                k_best = int(np.argmax(iou_mat[i]))
+                best_iou = float(iou_mat[i, k_best])
+                if best_iou > 0:
+                    matched_id = int(ids[k_best])
                 if best_iou <= p.matchIOUThresh:
                     matched_id = -1
                 if matched_id >= 0 and matched_id in matches:
@@ -978,17 +1018,16 @@ class EMFusionPipeline:
                     # reprojected model mask; the contested mask index then
                     # goes through the unmatched path (and is killed there
                     # by overlap subtraction) — EMFusion.cpp:430-454
-                    obj_mask = seg_map == matched_id
-                    prev_iou = float(self._mask_iou(
-                        jnp.asarray(matches[matched_id]),
-                        jnp.asarray(obj_mask)))
+                    prev_iou = float(iou_mat[match_det[matched_id], k_best])
                     if best_iou > prev_iou:
                         matches[matched_id] = masks[i].copy()
                         score_matches[matched_id] = dets[i].scores
+                        match_det[matched_id] = i
                     matched_id = -1
             if matched_id >= 0:
                 matches[matched_id] = masks[i]
                 score_matches[matched_id] = dets[i].scores
+                match_det[matched_id] = i
             else:
                 unmatched.append(i)
 
@@ -1038,26 +1077,23 @@ class EMFusionPipeline:
         if np.count_nonzero(mask) < p.visibilityThresh:
             return -1
         valid = jnp.asarray(mask.reshape(-1))
-        pts = jnp.asarray(pts_w)
 
-        # overlap check vs existing objects (volumeIOU, EMFusion.cpp:560-612)
-        ids = self._h_ids
+        # ONE packed fetch: world percentiles + per-slot object-frame
+        # percentiles (volumeIOU inputs, EMFusion.cpp:560-612)
         active = self._h_active
-        poses = np.asarray(self.state.objs.pose)
         vsizes = np.asarray(self.state.objs.voxel_size)
+        s = np.asarray(self._spawn_percentiles(
+            jnp.asarray(pts_w), valid, self.state.objs.pose))
+        p10, p90 = s[0:3], s[3:6]
+        p10o = s[7:7 + 3 * self.K].reshape(self.K, 3)
+        p90o = s[7 + 3 * self.K:7 + 6 * self.K].reshape(self.K, 3)
         for k in range(self.K):
             if not active[k]:
                 continue
-            T = np.linalg.inv(poses[k])
-            pts_o = jnp.asarray((pts_w @ T[:3, :3].T + T[:3, 3])
-                                .astype(np.float32))
-            p10, p90, _ = self._masked_percentiles(pts_o, valid)
-            p10, p90 = np.asarray(p10), np.asarray(p90)
-            if self._volume_iou(k, vsizes[k], p10, p90) > p.volIOUThresh:
+            if self._volume_iou(k, vsizes[k], p10o[k],
+                                p90o[k]) > p.volIOUThresh:
                 return -1
 
-        p10, p90, _ = self._masked_percentiles(pts, valid)
-        p10, p90 = np.asarray(p10), np.asarray(p90)
         center = (p10 + p90) / 2
         if np.linalg.norm(center - cam[:3, 3]) > p.distanceThresh:
             return -1
