@@ -691,10 +691,14 @@ class EMFusionPipeline:
             """Percentiles over (near-surface fg voxels) ∪ (new points),
             both in the object frame. TPU replacement for the reference's
             mesh-vertex + filtered-point percentile input
-            (EMFusion.cpp:838-855)."""
+            (EMFusion.cpp:838-855). The voxel proxy must approximate the
+            MESH VERTEX set (zero-crossing shell, ~1 voxel thick): using
+            the whole truncation band would flood the percentile set with
+            interior voxels and suppress resizes the reference performs
+            (mesh vertices ~ |tsdf| near 0, getMesh / TSDF.cpp:356-373)."""
             Z, Y, X = tsdf.shape
             fgvol = compute_fg_probs(fgc)
-            near = (weights > 0) & (fgvol > 0.5) & (jnp.abs(tsdf) < 0.99)
+            near = (weights > 0) & (fgvol > 0.5) & (jnp.abs(tsdf) < 0.1)
             zi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 0)
             yi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 1)
             xi = jax.lax.broadcasted_iota(jnp.float32, (Z, Y, X), 2)
