@@ -194,6 +194,52 @@ def filter_mask_size(masks: np.ndarray,
     return np.where(counts >= min_pixels)[0].astype(np.int32)
 
 
+def _bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Plain bilinear resize (align_corners=False convention, matching
+    scikit-image's ``resize`` used by matterport ``unmold_mask``)."""
+    in_h, in_w = img.shape
+    if out_h <= 0 or out_w <= 0:
+        return np.zeros((max(out_h, 0), max(out_w, 0)), img.dtype)
+    ys = (np.arange(out_h) + 0.5) * in_h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * in_w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, in_w - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = img[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+    b = img[np.ix_(y0, x1)] * (1 - fy) * fx
+    c = img[np.ix_(y1, x0)] * fy * (1 - fx)
+    d = img[np.ix_(y1, x1)] * fy * fx
+    return a + b + c + d
+
+
+def unmold_mini_masks(mini_masks: np.ndarray, boxes_px: np.ndarray,
+                      image_shape: Tuple[int, int]) -> np.ndarray:
+    """Paste mask-head crops into full-image masks (matterport
+    ``utils.unmold_mask`` / reference ``unmold_detections`` semantics,
+    ``maskrcnn.in.py`` via ``model.detect``): each (h, w) mini mask is
+    bilinearly resized into its pixel box and thresholded at 0.5.
+
+    Args: mini_masks (K, h, w) float; boxes_px (K, 4) y1,x1,y2,x2 pixel
+    boxes. Returns (K, H, W) float in {0, 1}.
+    """
+    H, W = image_shape
+    K = mini_masks.shape[0]
+    out = np.zeros((K, H, W), np.float32)
+    for i in range(K):
+        y1, x1, y2, x2 = [int(round(float(v))) for v in boxes_px[i]]
+        y1, x1 = max(y1, 0), max(x1, 0)
+        y2, x2 = min(y2, H), min(x2, W)
+        if y2 <= y1 or x2 <= x1:
+            continue
+        m = _bilinear_resize(mini_masks[i].astype(np.float64),
+                             y2 - y1, x2 - x1)
+        out[i, y1:y2, x1:x2] = (m >= 0.5).astype(np.float32)
+    return out
+
+
 def postprocess_raw(proposals: np.ndarray, probs: np.ndarray,
                     deltas: np.ndarray, masks: np.ndarray,
                     image_shape: Tuple[int, int],
@@ -210,10 +256,14 @@ def postprocess_raw(proposals: np.ndarray, probs: np.ndarray,
       proposals: (N, 4) normalized proposal boxes (y1, x1, y2, x2).
       probs: (N, C) per-proposal class probabilities (C = 81 COCO).
       deltas: (N, C, 4) per-class box deltas (matterport convention).
-      masks: (N, H, W) float or bool FULL-IMAGE masks per proposal.
-        (The reference's ``unmold_detections`` resizes the 28x28 head
-        output into the refined box; providers using torchvision's
-        ``paste_masks_in_image`` arrive here already full-image.)
+      masks: per-proposal masks in one of three layouts:
+        * (N, H, W) FULL-IMAGE masks (torchvision-style, already
+          pasted);
+        * (N, h, w) class-agnostic mask-head crops (h, w != image
+          size, typically 28x28) — unmolded into the refined boxes
+          here (reference ``unmold_detections``);
+        * (N, C, h, w) per-class mask-head crops (matterport head
+          layout) — the argmax class's channel is unmolded.
       image_shape: (H, W) of the original image.
       window: optional normalized (y1, x1, y2, x2) valid-image window
         (identity window when None).
@@ -240,8 +290,18 @@ def postprocess_raw(proposals: np.ndarray, probs: np.ndarray,
     scores_full = match_scores_to_detections(detection_boxes, roi_boxes,
                                              kept_scores)
 
-    kept_masks = np.asarray(masks)[keep][order]
+    masks = np.asarray(masks)
     boxes_px = detection_boxes
+    full_image = masks.ndim == 3 and masks.shape[1:] == (H, W)
+    if full_image:
+        kept_masks = masks[keep][order]
+    else:
+        if masks.ndim == 4:    # per-class head: take the argmax class
+            kept_ids = class_ids[keep][order]
+            mini = masks[keep][order][np.arange(len(order)), kept_ids]
+        else:
+            mini = masks[keep][order]
+        kept_masks = unmold_mini_masks(mini, boxes_px, (H, W))
 
     size_keep = filter_mask_size(kept_masks > 0.5, min_mask_pixels)
     dets = [Detection(mask=np.asarray(kept_masks[i]) > 0.5,

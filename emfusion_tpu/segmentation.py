@@ -158,6 +158,13 @@ class TorchScriptMaskProvider(MaskProvider):
         remap, leftover mass on background).
       * a dict with keys ``boxes``, ``masks``, ``labels``, ``scores``
         (torchvision's native output dict).
+      * RAW HEAD: ``(proposals (N,4) normalized, probs (N,C),
+        deltas (N,C,4), mask crops (N,h,w) or (N,C,h,w))`` — the full
+        reference postprocessing pipeline (class-specific box
+        refinement, per-class NMS, box-matched full score rows, mask
+        unmolding into refined boxes; ``detector_post.postprocess_raw``,
+        reference ``apps/maskrcnn.in.py:118-255``). Detected by
+        ``deltas.ndim == 3``.
 
     Detections then pass through the reference's confidence and
     50x50-pixel mask filters.
@@ -179,11 +186,11 @@ class TorchScriptMaskProvider(MaskProvider):
         with torch.no_grad():
             img = torch.from_numpy(np.ascontiguousarray(rgb))
             out = self.model(img)
-        return self._parse(out)
+        return self._parse(out, np.asarray(rgb).shape[:2])
 
-    def _parse(self, out):
+    def _parse(self, out, image_shape=None):
         from emfusion_tpu.detector_post import (
-            scores_from_labels, scores_from_logits)
+            postprocess_raw, scores_from_labels, scores_from_logits)
 
         def npy(t):
             return t.detach().cpu().numpy() if hasattr(t, "detach") \
@@ -194,6 +201,12 @@ class TorchScriptMaskProvider(MaskProvider):
             masks = npy(out["masks"])
             rows = scores_from_labels(npy(out["labels"]),
                                       npy(out["scores"]))
+        elif len(out) == 4 and npy(out[2]).ndim == 3:
+            # RAW HEAD: (proposals, probs, deltas, mask crops) — full
+            # reference postprocessing (maskrcnn.in.py:118-255)
+            return postprocess_raw(
+                npy(out[0]), npy(out[1]), npy(out[2]), npy(out[3]),
+                image_shape, min_confidence=self.score_thresh)
         elif len(out) == 4:
             boxes, masks = npy(out[0]), npy(out[1])
             rows = scores_from_labels(npy(out[2]), npy(out[3]))
