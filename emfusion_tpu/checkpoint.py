@@ -42,6 +42,8 @@ def _flatten_state(state) -> Dict[str, np.ndarray]:
 
 def save_checkpoint(pipe, path: str) -> None:
     """Write the pipeline's full state to ``path`` (.npz), atomically."""
+    if hasattr(pipe, 'flush'):
+        pipe.flush()
     arrays = _flatten_state(pipe.state)
 
     meta = {
@@ -131,18 +133,18 @@ def load_checkpoint(pipe, path: str) -> None:
                            for f, o in m["pose_offsets"].items()}
         pipe.meta[int(oid)] = om
 
-    pipe.poses = {}
+    pipe._poses = {}
     if "traj.frames" in arrays:
         for f, p in zip(arrays["traj.frames"], arrays["traj.cam"]):
-            pipe.poses[int(f)] = p
-    pipe.obj_poses = {}
+            pipe._poses[int(f)] = p
+    pipe._obj_poses = {}
     for k in arrays:
         if k.startswith("traj.obj") and k.endswith(".frames"):
             oid = int(k[len("traj.obj"):-len(".frames")])
             traj = {}
             for f, p in zip(arrays[k], arrays[f"traj.obj{oid}.poses"]):
                 traj[int(f)] = p
-            pipe.obj_poses[oid] = traj
+            pipe._obj_poses[oid] = traj
 
     # host mirrors (active/ids/visible/poses) must match the restored
     # device state before the next process_frame

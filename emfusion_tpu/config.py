@@ -107,10 +107,18 @@ class Params:
     # (XLA's gather is a ~0.11 G elem/s scalar loop there) and the direct
     # gather formulation elsewhere; "pencil"/"gather" force one.
     fusion_backend: str = "auto"
-    # Raycast backend: "auto" = B-space plane sweep on TPU (the lock-step
-    # per-ray march would do ~50M scalar gathers/frame there), lock-step
-    # march elsewhere; "sweep"/"march" force one.
+    # Raycast backend: "auto" = Pallas B-space plane-sweep kernel on TPU
+    # for the background volume (the lock-step per-ray march would do
+    # ~50M scalar gathers/frame there; the XLA sweep re-materializes the
+    # volume in f32), XLA sweep for the vmapped object volumes, lock-step
+    # march elsewhere; "sweep_pallas"/"sweep"/"march" force one.
     raycast_backend: str = "auto"
+    # Background E-step sampling backend: "sweep" (auto on TPU) samples
+    # the per-pixel TSDF value with the Pallas plane-sweep kernel (one
+    # streaming volume pass; along-ray piecewise-linear interpolation,
+    # same deviation class as the sweep raycast) instead of the XLA
+    # per-point gather ("gather", exact trilinear, auto on CPU).
+    estep_backend: str = "auto"
     # LM tracking pixel stride (points are subsampled stride x stride).
     # 0 = auto: 1 on CPU (exact reference behavior), 3 on TPU where the
     # per-iteration trilinear gathers run on XLA's scalar gather path.
@@ -202,7 +210,8 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
             raise ValueError("volumePose expects 3 floats (translation)")
     elif key == "fusion_backend":
         params.fusion_backend = v.strip()
-    elif key in ("raycast_backend", "bilateral_backend", "volume_dtype"):
+    elif key in ("raycast_backend", "bilateral_backend", "volume_dtype",
+                 "estep_backend"):
         setattr(params, key, v.strip())
     elif key in ("ignore_person", "matmul_bf16"):
         setattr(params, key,

@@ -56,26 +56,57 @@ def capture_neighborhoods(vols: jnp.ndarray, points_cam: jnp.ndarray,
     for any pose whose coords stay in-window).
     """
     C, Z, Y, X = vols.shape
+    N = points_cam.shape[1]
     vx, vy, vz, _ = _transform_to_grid(points_cam, rel_rot, rel_trans,
                                        voxel_size, (Z, Y, X))
     ax = jnp.floor(vx).astype(jnp.int32) - _ANCHOR_OFF
     ay = jnp.floor(vy).astype(jnp.int32) - _ANCHOR_OFF
     az = jnp.floor(vz).astype(jnp.int32) - _ANCHOR_OFF
+    anchor = jnp.stack([ax, ay, az])
 
     d = jnp.arange(WIN, dtype=jnp.int32)
     zc = jnp.clip(az[None, :] + d[:, None], 0, Z - 1)      # (W, N)
     yc = jnp.clip(ay[None, :] + d[:, None], 0, Y - 1)
     xc = jnp.clip(ax[None, :] + d[:, None], 0, X - 1)
-    flat = ((zc[:, None, None, :] * Y + yc[None, :, None, :]) * X
-            + xc[None, None, :, :])                        # (W, W, W, N)
-    flat = flat.reshape(-1)
-    # cache is always f32 regardless of the volumes' storage dtype
-    # (bf16-stored volumes decode at capture time; LM math stays f32)
-    cache = jnp.stack(
-        [jnp.take(vols[c].reshape(-1), flat).astype(jnp.float32)
-         for c in range(C)])
-    N = points_cam.shape[1]
-    return cache.reshape(C, WIN, WIN, WIN, N), jnp.stack([ax, ay, az])
+
+    if X % 8 != 0 or X < 16:
+        # small/odd volumes: plain scalar-take path
+        flat = ((zc[:, None, None, :] * Y + yc[None, :, None, :]) * X
+                + xc[None, None, :, :]).reshape(-1)        # (W, W, W, N)
+        cache = jnp.stack(
+            [jnp.take(vols[c].reshape(-1), flat).astype(jnp.float32)
+             for c in range(C)])
+        return cache.reshape(C, WIN, WIN, WIN, N), anchor
+
+    # ---- chunked-row gather (TPU production path) --------------------
+    # XLA:TPU's scalar gather runs at ~0.075 G elem/s (measured, r3), so
+    # the 2ch x 6^3 x N element take costs ~200 ms at N=34k. Gathering
+    # 8-wide ALIGNED x-chunks instead runs at ~160 M rows/s (measured):
+    # each (z, y) row of a point's window needs x in [b, b+8) with
+    # b = clip(ax, 0, X-8), always covered by the two aligned 8-chunks
+    # starting at 8*c0, c0 = clip(b >> 3, 0, X/8 - 2). The 6 taps are
+    # then selected from the 16 gathered lanes on the VPU (16-way
+    # select), never touching HBM again. ~6x fewer gather descriptors:
+    # 2*36*N rows vs 2*216*N scalars.
+    X8 = X // 8
+    base = jnp.clip(ax, 0, X - 8)                          # (N,)
+    c0 = jnp.clip(base // 8, 0, X8 - 2)
+    row = (zc[:, None, :] * Y + yc[None, :, :]) * X8       # (W, W, N)
+    r0 = row + c0[None, None, :]
+    ridx = jnp.stack([r0, r0 + 1], axis=-1).reshape(-1)    # (W*W*N*2,)
+    # per-tap lane offset within the 16 gathered lanes
+    xoff = xc - 8 * c0[None, :]                            # (W, N) in [0,16)
+    caches = []
+    for c in range(C):
+        g = jnp.take(vols[c].reshape(Z * Y * X8, 8), ridx, axis=0)
+        g = g.astype(jnp.float32).reshape(WIN, WIN, N, 16)
+        out = jnp.zeros((WIN, WIN, WIN, N), jnp.float32)
+        for k in range(16):
+            sel = (xoff == k)                              # (W, N)
+            out = out + jnp.where(sel[None, None, :, :],
+                                  g[:, :, None, :, k], 0.0)
+        caches.append(out)
+    return jnp.stack(caches), anchor
 
 
 def _tents(vl: jnp.ndarray) -> jnp.ndarray:

@@ -171,6 +171,8 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
 def write_results(pipe, path: str, export_volumes: bool = False) -> None:
     """Write the full export tree (``EMFusion::writeResults``,
     ``EMFusion.cpp:253-292`` + writers :991-1313)."""
+    if hasattr(pipe, 'flush'):
+        pipe.flush()
     os.makedirs(path, exist_ok=True)
 
     stamps = getattr(pipe, "timestamps", None) or None

@@ -167,32 +167,50 @@ def _raycast_sweep(tsdf, weights, rel_rot_oc, rel_trans_oc, intr,
 
     hit_B = (best_ft < BIG) & (best_ft < best_bt)
     ts_B = jnp.where(hit_B, best_fts, 0.0)
+    return sweep_outputs_from_tstar_grid(ts_B, Binv, a0, b0, da, db,
+                                         intr, H, W)
 
-    # ---- warp back to the image: pixel -> B-grid column (fixed gather) --
-    ys = jnp.arange(H, dtype=f32)
-    xs = jnp.arange(W, dtype=f32)
-    pix = jnp.stack([jnp.broadcast_to(xs[None, :], (H, W)),
-                     jnp.broadcast_to(ys[:, None], (H, W)),
-                     jnp.ones((H, W), f32)], axis=0)
-    q = jnp.einsum("ij,jhw->ihw", Binv, pix)
-    qw = jnp.where(jnp.abs(q[2]) < 1e-12, 1e-12, q[2])
-    a_pix = q[0] / qw
-    b_pix = q[1] / qw
+
+def warp_grid_to_pixels(grid_B, Binv, a0, b0, da, db, H: int, W: int):
+    """Per-pixel lookup of the B-grid cell the pixel's ray passes
+    through (the sweep's image warp-back; clip-only semantics)."""
+    f32 = jnp.float32
+    SB, LB = grid_B.shape
     if jax.default_backend() in ("cpu",):
+        ys = jnp.arange(H, dtype=f32)
+        xs = jnp.arange(W, dtype=f32)
+        pix = jnp.stack([jnp.broadcast_to(xs[None, :], (H, W)),
+                         jnp.broadcast_to(ys[:, None], (H, W)),
+                         jnp.ones((H, W), f32)], axis=0)
+        q = jnp.einsum("ij,jhw->ihw", Binv, pix)
+        qw = jnp.where(jnp.abs(q[2]) < 1e-12, 1e-12, q[2])
+        a_pix = q[0] / qw
+        b_pix = q[1] / qw
         ja = jnp.clip(jnp.floor((a_pix - a0) / da * LB), 0, LB - 1)
         ib = jnp.clip(jnp.floor((b_pix - b0) / db * SB), 0, SB - 1)
         flat = (ib * LB + ja).astype(jnp.int32)
-        t_star = jnp.take(ts_B.reshape(-1), flat)
-    else:
-        # pixel->B-grid lookup via the Pallas warp kernel: the plain
-        # 307k-element gather runs on XLA:TPU's scalar loop (~3 ms)
-        from emfusion_tpu.ops.pallas.warp_pallas import (
-            select_grid_at_pixels_pallas)
-        t_star = select_grid_at_pixels_pallas(ts_B, Binv, a0, b0, da, db,
-                                              H, W)
+        return jnp.take(grid_B.reshape(-1), flat)
+    # pixel->B-grid lookup via the Pallas warp kernel: the plain
+    # 307k-element gather runs on XLA:TPU's scalar loop (~3 ms)
+    from emfusion_tpu.ops.pallas.warp_pallas import (
+        select_grid_at_pixels_pallas)
+    return select_grid_at_pixels_pallas(grid_B, Binv, a0, b0, da, db,
+                                        H, W)
+
+
+def sweep_outputs_from_tstar_grid(ts_B, Binv, a0, b0, da, db, intr,
+                                  H: int, W: int):
+    """Image-space raycast outputs from the per-B-column t* grid
+    (shared epilogue of the XLA and Pallas sweep backends)."""
+    f32 = jnp.float32
+    fx, fy = intr[0, 0], intr[1, 1]
+    cx, cy = intr[0, 2], intr[1, 2]
+    t_star = warp_grid_to_pixels(ts_B, Binv, a0, b0, da, db, H, W)
     hit = t_star > 0.0
 
     # ---- vertices + normals in camera coords ---------------------------
+    ys = jnp.arange(H, dtype=f32)
+    xs = jnp.arange(W, dtype=f32)
     ux = (xs[None, :] - cx) / fx
     uy = (ys[:, None] - cy) / fy
     unproj = jnp.stack([jnp.broadcast_to(ux, (H, W)),

@@ -160,8 +160,8 @@ class EMFusionPipeline:
         self._h_cam_pose = np.eye(4, dtype=np.float32)
 
         # trajectory + export storage (reference EMFusion.h:330-468)
-        self.poses: Dict[int, np.ndarray] = {}
-        self.obj_poses: Dict[int, Dict[int, np.ndarray]] = {}
+        self._poses: Dict[int, np.ndarray] = {}
+        self._obj_poses: Dict[int, Dict[int, np.ndarray]] = {}
         # frame index -> dataset timestamp (TUM eval writes stamps when
         # available, mirroring eval_tum.sh's index->timestamp substitution)
         self.timestamps: Dict[int, float] = {}
@@ -175,6 +175,8 @@ class EMFusionPipeline:
         }
         # last raycast results (host copies of what render() needs)
         self._last_raycast = None
+        # deferred end-of-frame summary (see process_frame / flush)
+        self._pending = None
         from emfusion_tpu.profiling import PhaseTimer
         self.timer = PhaseTimer()
         self._build_jits()
@@ -225,7 +227,17 @@ class EMFusionPipeline:
             escale = 1 if jax.default_backend() in ("cpu",) else 2
         escale = max(escale, 1)
 
-        def estep_subset(state: PipelineState, points, slots):
+        estep_backend = p.estep_backend
+        if estep_backend == "auto":
+            estep_backend = ("sweep"
+                             if jax.default_backend() not in ("cpu",)
+                             else "gather")
+        # intrinsics of the escale-subsampled pixel grid (u' = u/escale)
+        intr_e = (jnp.diag(jnp.asarray(
+            [1.0 / escale, 1.0 / escale, 1.0], jnp.float32)) @ intr
+            if escale > 1 else intr)
+
+        def estep_subset(state: PipelineState, points, slots, bg_axis=2):
             """computeAssociationWeights (EMFusion.cpp:635-670), evaluated
             for the given object slots only (others keep zero weight, like
             inactive models in the reference's per-object loop).
@@ -233,15 +245,32 @@ class EMFusionPipeline:
             With estep_scale > 1, weights are computed on a subsampled
             pixel grid and nearest-upsampled back to (H, W).
 
+            Background sampling: "sweep" backend replaces the per-point
+            gather with the Pallas plane-sweep sampler (one streaming
+            pass over the volume; ``bg_axis`` = static scan axis).
+
             Also returns the per-object sampled fg probabilities (the
             reference's getFgProbVals cache, EMFusion.cpp:120; fg_probs/
             export) when exports are enabled, else None."""
             pts = points[:, ::escale, ::escale] if escale > 1 else points
             rel_bg = pose_inverse(state.bg_pose) @ state.cam_pose
-            bg_w, _ = association_weights(
-                state.bg_tsdf, pts, rel_bg[:3, :3], rel_bg[:3, 3],
-                bg_voxel, bg_trunc, tsdfp.assocSigma, tsdfp.alpha,
-                tsdfp.uniPrior)
+            if estep_backend == "sweep":
+                from emfusion_tpu.ops.pallas.sweep_pallas import (
+                    sweep_sample_psi_pallas)
+                psi = sweep_sample_psi_pallas(
+                    state.bg_tsdf, pts, rel_bg[:3, :3], rel_bg[:3, 3],
+                    intr_e, bg_voxel, axis=bg_axis)
+                # compute_laplace semantics (TSDF.cpp:138-156)
+                lap = jnp.exp(-bg_trunc * jnp.abs(psi)
+                              / tsdfp.assocSigma) / (2.0 * tsdfp.assocSigma)
+                bg_w = tsdfp.alpha * lap + (1.0 - tsdfp.alpha) * \
+                    tsdfp.uniPrior
+                bg_w = jnp.where(psi == 0.0, 0.0, bg_w)
+            else:
+                bg_w, _ = association_weights(
+                    state.bg_tsdf, pts, rel_bg[:3, :3], rel_bg[:3, 3],
+                    bg_voxel, bg_trunc, tsdfp.assocSigma, tsdfp.alpha,
+                    tsdfp.uniPrior)
 
             def obj_assoc(tsdf, fgc, pose, vs, td):
                 rel = pose_inverse(pose) @ state.cam_pose
@@ -369,12 +398,23 @@ class EMFusionPipeline:
 
         rc_backend = p.raycast_backend
         if rc_backend == "auto":
-            rc_backend = ("sweep" if jax.default_backend() not in ("cpu",)
+            rc_backend = ("sweep_pallas"
+                          if jax.default_backend() not in ("cpu",)
                           else "march")
 
         def _rc(tsdf, grads, weights, rel_rot, rel_trans, vs, td,
                 small=False, axis=2):
-            if rc_backend == "sweep":
+            if rc_backend == "sweep_pallas" and not small:
+                # Pallas streaming sweep for the (large) background
+                # volume; object volumes stay on the XLA sweep — the
+                # call is vmapped over the pool and their 64^3 grids
+                # are cheap.
+                from emfusion_tpu.ops.pallas.sweep_pallas import (
+                    raycast_sweep_pallas)
+                return raycast_sweep_pallas(tsdf, weights, rel_rot,
+                                            rel_trans, intr, vs, td,
+                                            H, W, axis=axis)
+            if rc_backend in ("sweep", "sweep_pallas"):
                 return raycast_sweep(tsdf, weights, rel_rot, rel_trans,
                                      intr, vs, td, H, W,
                                      bf16=p.matmul_bf16,
@@ -612,7 +652,8 @@ class EMFusionPipeline:
         # run over the active slot subset only)
         self._track_camera = jax.jit(track_camera)
         self._track_objs_subset = jax.jit(track_objs_subset)
-        self._estep_subset = jax.jit(estep_subset)
+        self._estep_subset = jax.jit(estep_subset,
+                                     static_argnames=("bg_axis",))
         self._raycast_all = jax.jit(raycast_all)
         self._raycast_subset = jax.jit(raycast_subset,
                                        static_argnames=("bg_axis",))
@@ -807,6 +848,7 @@ class EMFusionPipeline:
                       depth_raw: np.ndarray,
                       timestamp: Optional[float] = None) -> None:
         p = self.params
+        self._consume_pending()    # previous frame's deferred summary
         if timestamp is not None:
             self.timestamps[self.frame] = float(timestamp)
         with self.timer.phase("preprocess"):
@@ -817,7 +859,9 @@ class EMFusionPipeline:
         if self.frame > 0:
             slots = jnp.asarray(np.nonzero(self._h_active)[0], jnp.int32)
             with self.timer.phase("estep_pre"):
-                state, _ = self._estep_subset(self.state, points, slots)
+                state, _ = self._estep_subset(
+                    self.state, points, slots,
+                    bg_axis=self._bg_scan_axis())
             pre_bg = state.bg_assoc
             pre_obj = state.objs.assoc
             with self.timer.phase("track_camera"):
@@ -828,8 +872,9 @@ class EMFusionPipeline:
                 self.outputs["huber_weights_bg"][self.frame] = \
                     np.asarray(huber_w)
             with self.timer.phase("estep_mid"):
-                state, _ = self._estep_subset(state, points,
-                                              slots)   # EMFusion.cpp:687
+                state, _ = self._estep_subset(
+                    state, points, slots,
+                    bg_axis=self._bg_scan_axis())   # EMFusion.cpp:687
             if len(slots) > 0:
                 with self.timer.phase("track_objects"):
                     state, obj_tw, obj_hw = self._track_objs_subset(
@@ -845,8 +890,9 @@ class EMFusionPipeline:
                         oid: np.asarray(obj_hw[i])
                         for i, oid in enumerate(slot_ids)}
             with self.timer.phase("estep_post"):
-                state, fg_imgs = self._estep_subset(state, points,
-                                                    slots)  # post-track, :87
+                state, fg_imgs = self._estep_subset(
+                    state, points, slots,
+                    bg_axis=self._bg_scan_axis())  # post-track, :87
             if self.save_output and fg_imgs is not None and len(slots) > 0:
                 ids_now = np.asarray(state.objs.object_id)
                 self.outputs["fg_probs"][self.frame] = {
@@ -894,30 +940,69 @@ class EMFusionPipeline:
             with self.timer.phase("integrate_masks"):
                 self._apply_mask_integration(matches, rc)
 
-        # ---- the ONE device->host fetch of an ordinary frame ----------
-        cnt = asum = None
+        # ---- end-of-frame summary: the ONE device->host fetch of an
+        # ordinary frame, issued ASYNC here and consumed at the next
+        # frame's start (or flush()). The blocking fetch costs a ~28 ms
+        # relay RTT on the tunneled TPU; deferring the consumption
+        # overlaps it with the next frame's enqueue. The reference's
+        # cleanUpObjs runs at the very end of processFrame
+        # (EMFusion.cpp:922-980) and nothing touches the state between
+        # two frames, so consuming at the next frame's start is
+        # semantically identical.
         with self.timer.phase("summary"):
             if rc is not None:
-                s = np.asarray(self._frame_summary(
-                    self.state, rc["obj_masks"], rc["vis_counts"]))
-                off = 16 + 16 * self.K
-                poses_flat = s[:off]
-                vis = s[off:off + self.K]
-                cnt = s[off + self.K:off + 2 * self.K]
-                asum = s[off + 2 * self.K:off + 3 * self.K]
-                vis_h = self._h_active & (vis > p.visibilityThresh)
-                for k in self._frame_spawned:
-                    vis_h[k] = True    # spawned after this frame's raycast
-                self._h_visible = vis_h
+                s_dev = self._frame_summary(self.state, rc["obj_masks"],
+                                            rc["vis_counts"])
             else:
-                poses_flat = np.asarray(self._pose_pack(self.state))
-            if not mask_frame:
-                self._apply_store_poses(poses_flat)
-
-        with self.timer.phase("cleanup"):
-            self._clean_up_objs(num_instances, matches, rc, cnt, asum)
+                s_dev = self._pose_pack(self.state)
+            try:
+                s_dev.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending = dict(
+                frame=self.frame, summary=s_dev, had_rc=rc is not None,
+                rc=rc, mask_frame=mask_frame,
+                num_instances=num_instances, matches=matches,
+                spawned=list(self._frame_spawned))
 
         self.frame += 1
+
+    # ------------------------------------------------------------------
+    def _consume_pending(self):
+        """Apply the deferred end-of-frame summary: pose recording,
+        visibility mirrors and object cleanup for the previous frame."""
+        pend = self._pending
+        if pend is None:
+            return
+        self._pending = None
+        p = self.params
+        with self.timer.phase("summary_wait"):
+            s = np.asarray(pend["summary"])
+        frame = pend["frame"]
+        cnt = asum = None
+        if pend["had_rc"]:
+            off = 16 + 16 * self.K
+            poses_flat = s[:off]
+            vis = s[off:off + self.K]
+            cnt = s[off + self.K:off + 2 * self.K]
+            asum = s[off + 2 * self.K:off + 3 * self.K]
+            vis_h = self._h_active & (vis > p.visibilityThresh)
+            for k in pend["spawned"]:
+                vis_h[k] = True    # spawned after that frame's raycast
+            self._h_visible = vis_h
+        else:
+            poses_flat = s
+        if not pend["mask_frame"]:
+            self._apply_store_poses(poses_flat, frame=frame)
+        with self.timer.phase("cleanup"):
+            self._clean_up_objs(pend["num_instances"], pend["matches"],
+                                pend["rc"], cnt, asum, frame=frame)
+
+    def flush(self):
+        """Consume any deferred end-of-frame summary. Called
+        automatically at the next process_frame; call it before reading
+        poses/state/meshes after the last frame."""
+        self._consume_pending()
 
     # ------------------------------------------------------------------
     def _bg_scan_axis(self) -> int:
@@ -933,20 +1018,23 @@ class EMFusionPipeline:
         return pick_scan_axis(rel_co)
 
     # ------------------------------------------------------------------
-    def _apply_store_poses(self, poses_flat: np.ndarray):
+    def _apply_store_poses(self, poses_flat: np.ndarray, frame=None):
         """storePoses (EMFusion.cpp:96) from the packed pose fetch."""
+        if frame is None:
+            frame = self.frame
         cam = poses_flat[:16].reshape(4, 4).copy()
-        self.poses[self.frame] = cam
+        self._poses[frame] = cam
         self._h_cam_pose = cam
         obj = poses_flat[16:16 + 16 * self.K].reshape(self.K, 4, 4)
         for k in range(self.K):
             if self._h_active[k]:
-                self.obj_poses.setdefault(
-                    int(self._h_ids[k]), {})[self.frame] = obj[k].copy()
+                self._obj_poses.setdefault(
+                    int(self._h_ids[k]), {})[frame] = obj[k].copy()
 
     def _refresh_host_mirrors(self):
         """Re-derive the host mirrors from device state (used after
         checkpoint restore / direct state injection)."""
+        self._pending = None   # any deferred summary is now stale
         o = self.state.objs
         self._h_active = np.asarray(o.active).copy()
         self._h_ids = np.asarray(o.object_id).astype(np.int64)
@@ -1141,7 +1229,7 @@ class EMFusionPipeline:
         # match loop then applies updateExProb(true) -> 1
         # (EMFusion.cpp:359-365: new objects are in `matches`)
         self.meta[new_id] = ObjectMeta(ex_count=0, nonex_count=0)
-        self.obj_poses.setdefault(new_id, {})[self.frame] = pose
+        self._obj_poses.setdefault(new_id, {})[self.frame] = pose
         # reference: "Created new object" (EMFusion.cpp:555)
         logger.info("frame %d: created object %d (slot %d, voxel %.4f m, "
                     "center %s)", self.frame, new_id, slot, voxel,
@@ -1231,7 +1319,7 @@ class EMFusionPipeline:
         )
         self.state = self.state.replace(objs=o)
         oid = int(np.asarray(o.object_id[slot]))
-        self.obj_poses.setdefault(oid, {})[self.frame] = pose
+        self._obj_poses.setdefault(oid, {})[self.frame] = pose
         return new_center.astype(np.float32)
 
     # ------------------------------------------------------------------
@@ -1262,12 +1350,14 @@ class EMFusionPipeline:
 
     # ------------------------------------------------------------------
     def _clean_up_objs(self, num_instances, matches, rc,
-                       cnt=None, asum=None):
+                       cnt=None, asum=None, frame=None):
         """cleanUpObjs (EMFusion.cpp:922-980). ``cnt``/``asum``: per-slot
         association stats pre-fetched by the frame-summary pack (ordinary
         frames); when a matched segmentation exists this frame they are
         recomputed with the mask OR'd in (reference :940-943)."""
         p = self.params
+        if frame is None:
+            frame = self.frame
         ids = self._h_ids
         active = self._h_active
         visible = self._h_visible
@@ -1282,7 +1372,7 @@ class EMFusionPipeline:
                     # reference deletion logs (EMFusion.cpp:929-934)
                     logger.info(
                         "frame %d: object %d existence prob %.3f < %.3f "
-                        "-> delete", self.frame, oid,
+                        "-> delete", frame, oid,
                         self.meta[oid].ex_prob, p.existenceThresh)
 
         check = [k for k in range(self.K) if active[k] and visible[k]]
@@ -1309,7 +1399,7 @@ class EMFusionPipeline:
                     spurious.add(oid)
                     # "tracking likely failed" (EMFusion.cpp:936-949)
                     logger.info("frame %d: object %d association below "
-                                "threshold -> delete", self.frame, oid)
+                                "threshold -> delete", frame, oid)
 
         delete_slots = []
         for k in range(self.K):
@@ -1319,7 +1409,7 @@ class EMFusionPipeline:
             if oid in spurious or not visible[k]:
                 if oid not in spurious:
                     logger.info("frame %d: object %d not visible -> "
-                                "delete", self.frame, oid)   # :951-960
+                                "delete", frame, oid)   # :951-960
                 delete_slots.append(k)
 
         if delete_slots:
@@ -1341,6 +1431,7 @@ class EMFusionPipeline:
         With ``ignore_person`` set, pixels belonging to person-class
         objects are removed from the composited maps before shading
         (``EMFusion.cpp:139-150``)."""
+        self._consume_pending()    # apply deletions before rendering
         if self._last_raycast is None:
             return np.zeros((self.H, self.W, 3), np.uint8)
         rc = self._last_raycast
@@ -1363,7 +1454,21 @@ class EMFusionPipeline:
         return np.asarray(img)
 
     @property
+    def poses(self) -> Dict[int, np.ndarray]:
+        """Per-frame camera poses (storePoses). Reading consumes any
+        deferred end-of-frame summary, so ``pipe.poses[f]`` is valid
+        right after ``process_frame`` returns (reference contract)."""
+        self._consume_pending()
+        return self._poses
+
+    @property
+    def obj_poses(self) -> Dict[int, Dict[int, np.ndarray]]:
+        self._consume_pending()
+        return self._obj_poses
+
+    @property
     def active_object_ids(self) -> List[int]:
+        self._consume_pending()
         ids = self._h_ids
         active = self._h_active
         return [int(ids[k]) for k in range(self.K) if active[k]]

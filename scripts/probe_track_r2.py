@@ -100,27 +100,29 @@ def main():
         print(f"--- stride {stride}: N={N}")
         vols = jnp.stack([tsdf_j, w_j])
 
-        cap = jax.jit(lambda R_, t_: capture_neighborhoods(
-            vols, pts, R_, t_, voxel))
-        dt = timeit(cap, Rm, tv, iters=3)
-        print(f"capture 6^3x2ch: {dt*1e3:.2f} ms")
-        cache, anchor = cap(Rm, tv)
+        cap = jax.jit(lambda v_, p_, R_, t_: capture_neighborhoods(
+            v_, p_, R_, t_, voxel))
+        dt = timeit(cap, vols, pts, Rm, tv, iters=3)
+        print(f"capture 6^3x2ch: {dt*1e3:.2f} ms", flush=True)
+        cache, anchor = cap(vols, pts, Rm, tv)
 
-        sysg = jax.jit(lambda R_, t_: sample_system_at_points(
-            tsdf_j, pts, R_, t_, voxel))
-        dt = timeit(sysg, Rm, tv, iters=3)
-        wg = jax.jit(lambda R_, t_: sample_volume_at_points(
-            w_j, pts, R_, t_, voxel, margin=1))
-        dt2 = timeit(wg, Rm, tv, iters=3)
-        print(f"gather eval (27sys + 8w): {dt*1e3:.2f} + {dt2*1e3:.2f} ms")
+        sysg = jax.jit(lambda T_, p_, R_, t_: sample_system_at_points(
+            T_, p_, R_, t_, voxel))
+        dt = timeit(sysg, tsdf_j, pts, Rm, tv, iters=3)
+        wg = jax.jit(lambda W_, p_, R_, t_: sample_volume_at_points(
+            W_, p_, R_, t_, voxel, margin=1))
+        dt2 = timeit(wg, w_j, pts, Rm, tv, iters=3)
+        print(f"gather eval (27sys + 8w): {dt*1e3:.2f} + {dt2*1e3:.2f} ms",
+              flush=True)
 
-        sysc = jax.jit(lambda R_, t_: sample_system_from_cache(
-            cache[0], anchor, pts, R_, t_, voxel, (R, R, R)))
-        dt = timeit(sysc, Rm, tv, iters=5)
-        wc = jax.jit(lambda R_, t_: sample_value_from_cache(
-            cache[1:2], anchor, pts, R_, t_, voxel, (R, R, R), 1))
-        dt2 = timeit(wc, Rm, tv, iters=5)
-        print(f"capture eval (sys + w): {dt*1e3:.2f} + {dt2*1e3:.2f} ms")
+        sysc = jax.jit(lambda c_, a_, p_, R_, t_: sample_system_from_cache(
+            c_, a_, p_, R_, t_, voxel, (R, R, R)))
+        dt = timeit(sysc, cache[0], anchor, pts, Rm, tv, iters=5)
+        wc = jax.jit(lambda c_, a_, p_, R_, t_: sample_value_from_cache(
+            c_, a_, p_, R_, t_, voxel, (R, R, R), 1))
+        dt2 = timeit(wc, cache[1:2], anchor, pts, Rm, tv, iters=5)
+        print(f"capture eval (sys + w): {dt*1e3:.2f} + {dt2*1e3:.2f} ms",
+              flush=True)
 
         # full LM, realistic init error (~1 cm + small rotation)
         init = np.eye(4, dtype=np.float32)
@@ -128,12 +130,13 @@ def main():
         assoc = jnp.ones((N,), jnp.float32)
         for sampler in ("capture", "gather"):
             cfg = TrackConfig(max_iter=100, sampler=sampler)
-            f = jax.jit(lambda ini: track_volume(
-                tsdf_j, w_j, voxel, pts, assoc, ini, cfg)[0])
-            dt = timeit(f, jnp.asarray(init), iters=3)
-            pose, st = jax.jit(lambda ini: track_volume(
-                tsdf_j, w_j, voxel, pts, assoc, ini, cfg))(
-                    jnp.asarray(init))
+            f = jax.jit(lambda T_, W_, p_, a_, ini: track_volume(
+                T_, W_, voxel, p_, a_, ini, cfg)[0])
+            dt = timeit(f, tsdf_j, w_j, pts, assoc, jnp.asarray(init),
+                        iters=3)
+            pose, st = jax.jit(lambda T_, W_, p_, a_, ini: track_volume(
+                T_, W_, voxel, p_, a_, ini, cfg))(
+                    tsdf_j, w_j, pts, assoc, jnp.asarray(init))
             it = int(st["iterations"])
             rc = int(st["recaptures"]) if sampler == "capture" else 0
             print(f"track_volume[{sampler}]: {dt*1e3:.1f} ms "
@@ -144,9 +147,9 @@ def main():
     for escale in (2, 1):
         pts = jnp.asarray(
             pts_full[:, ::escale, ::escale].reshape(3, -1))
-        f = jax.jit(lambda R_, t_: association_weights(
-            tsdf_j, pts, R_, t_, voxel, trunc, 0.02, 0.8, 1.0)[0])
-        dt = timeit(f, Rm, tv, iters=3)
+        f = jax.jit(lambda T_, p_, R_, t_: association_weights(
+            T_, p_, R_, t_, voxel, trunc, 0.02, 0.8, 1.0)[0])
+        dt = timeit(f, tsdf_j, pts, Rm, tv, iters=3)
         print(f"E-step assoc (1 model, escale {escale}, N={pts.shape[1]}): "
               f"{dt*1e3:.2f} ms")
 
