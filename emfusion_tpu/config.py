@@ -132,6 +132,11 @@ class Params:
     # (exact for fusion's 0/1 matrices, ~1e-3 relative on the sweep's
     # bilinear blends; uses the MXU's higher bf16 rate).
     matmul_bf16: bool = False
+    # LM capture backend: "band" (auto on TPU) = banded sweep-capture
+    # (one streaming volume pass + in-plane resampled caches,
+    # geometry/band_capture.py); "gather" (auto on CPU) = per-point
+    # HBM neighborhood gather (exact voxel reads).
+    capture_backend: str = "auto"
     # Bilateral filter backend: "auto" uses the VMEM-resident Pallas
     # stencil kernel on TPU (zero-pad borders), "xla" the 49-tap fused
     # XLA graph (reflect-101 borders, exact reference semantics).
@@ -211,7 +216,7 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
     elif key == "fusion_backend":
         params.fusion_backend = v.strip()
     elif key in ("raycast_backend", "bilateral_backend", "volume_dtype",
-                 "estep_backend"):
+                 "estep_backend", "capture_backend"):
         setattr(params, key, v.strip())
     elif key in ("ignore_person", "matmul_bf16"):
         setattr(params, key,

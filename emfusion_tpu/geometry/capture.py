@@ -143,6 +143,16 @@ def drift_ok(anchor, points_cam, rel_rot, rel_trans, voxel_size, shape):
     return ~jnp.any(rel & bad)
 
 
+def _window_ok(lx, ly, lz):
+    """Local coords (incl. the +1-shifted system tents) stay inside
+    the cached window. Under the drift check this always holds; when
+    re-captures are capped (TrackConfig.max_recaptures) drifted points
+    drop out here instead of silently losing tent mass."""
+    hi = WIN - 2.0
+    return ((lx >= 0) & (lx <= hi) & (ly >= 0) & (ly <= hi)
+            & (lz >= 0) & (lz <= hi))
+
+
 def sample_value_from_cache(cache: jnp.ndarray, anchor, points_cam,
                             rel_rot, rel_trans, voxel_size, shape,
                             margin: int = 1) -> jnp.ndarray:
@@ -152,7 +162,8 @@ def sample_value_from_cache(cache: jnp.ndarray, anchor, points_cam,
     (vx, vy, vz, pz), (lx, ly, lz) = _local_coords(
         anchor, points_cam, rel_rot, rel_trans, voxel_size, shape)
     valid = (pz > 0) & (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0) \
-        & (vx + margin < X) & (vy + margin < Y) & (vz + margin < Z)
+        & (vx + margin < X) & (vy + margin < Y) & (vz + margin < Z) \
+        & _window_ok(lx, ly, lz)
     tx = _tents(lx)
     ty = _tents(ly)
     tz = _tents(lz)
@@ -187,7 +198,8 @@ def sample_system_from_cache(cache_t: jnp.ndarray, anchor, points_cam,
     sy = jnp.sum(cy1 * tz, axis=0)
     sz = jnp.sum(cy * tz1, axis=0)
 
-    inside = (pz > 0) & (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0)
+    inside = (pz > 0) & (vx >= 0.0) & (vy >= 0.0) & (vz >= 0.0) \
+        & _window_ok(lx, ly, lz)
     valid1 = inside & (vx + 1 < X) & (vy + 1 < Y) & (vz + 1 < Z)
     valid2 = inside & (vx + 2 < X) & (vy + 2 < Y) & (vz + 2 < Z)
     psi = jnp.where(valid1, base_val, 0.0)

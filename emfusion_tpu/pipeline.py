@@ -130,7 +130,8 @@ class EMFusionPipeline:
             huber_thresh=params.tsdfParams.huberThresh,
             max_tsdf_weight=params.tsdfParams.maxTSDFWeight,
             max_iter=params.maxTrackingIter,
-            sampler=os.environ.get("EMF_TRACK_SAMPLER", "auto"))
+            sampler=os.environ.get("EMF_TRACK_SAMPLER", "auto"),
+            capture_backend=params.capture_backend)
         self.colormap = make_colormap()
 
         # background volume storage dtype (bf16 halves the HBM traffic of
@@ -315,6 +316,8 @@ class EMFusionPipeline:
         stride = p.tracking_stride
         if stride == 0:
             stride = 1 if jax.default_backend() in ("cpu",) else 3
+        # static per-object LM point budget (subset mode, see track_obj)
+        OBJ_TRACK_POINTS = 4096
 
         def _track_pts(points, assoc):
             """Subsampled tracking points + matching association weights."""
@@ -324,55 +327,117 @@ class EMFusionPipeline:
         hs = (H + stride - 1) // stride
         ws = (W + stride - 1) // stride
 
-        def track_camera(state: PipelineState, points):
+        # Banded sweep-capture for the LM (geometry/band_capture.py):
+        # one streaming volume pass instead of the ~140 ms per-point
+        # HBM gather. Production default on TPU; "gather" forces the
+        # exact per-point reads.
+        cap_backend = p.capture_backend
+        if cap_backend == "auto":
+            cap_backend = ("band"
+                           if jax.default_backend() not in ("cpu",)
+                           else "gather")
+        if cap_backend == "band":
+            from emfusion_tpu.geometry.band_capture import grid_dims_for
+            SB_t, LB_t = grid_dims_for(hs, ws)
+            scale_t = jnp.asarray(
+                [1.0 / stride, 1.0 / stride, 1.0], jnp.float32)
+            intr_t = jnp.diag(scale_t) @ intr
+            band_backend = ("xla"
+                            if jax.default_backend() in ("cpu",)
+                            else "pallas")
+
+            def _band_args(axis):
+                axes = (axis,) + tuple(a for a in (2, 1, 0)
+                                       if a != axis)
+                return (intr_t, hs, ws, SB_t, LB_t, axes, band_backend)
+        else:
+            def _band_args(axis):
+                return None
+
+        def track_camera(state: PipelineState, points, bg_axis=2):
             """Camera-vs-background LM (performTracking, first half).
             Returns (state, track-weight image, huber-weight image), both
-            (H/stride, W/stride)."""
+            (H/stride, W/stride). ``bg_axis``: static scan axis for the
+            band capture sweep."""
             pts, asc = _track_pts(points, state.bg_assoc)
             rel_init = reorthonormalize(
                 pose_inverse(state.bg_pose) @ state.cam_pose)
             rel, stats = track_volume(
                 state.bg_tsdf, state.bg_weights, bg_voxel,
-                pts, asc, rel_init, cfg)
+                pts, asc, rel_init, cfg,
+                band_args=_band_args(bg_axis))
             tw = stats["track_weights"].reshape(hs, ws)
             hw = stats["huber_weights"].reshape(hs, ws)
             return state.replace(cam_pose=state.bg_pose @ rel), tw, hw
 
         def track_objs_subset(state: PipelineState, points, slots,
-                              serial: bool = True):
+                              serial: bool = True, obj_axes=None):
             """Object LM over the given pool slots only (the reference
             loops over live objects, EMFusion.cpp:692-720; running just
             the active subset avoids paying K x the gather cost).
 
-            ``serial=True`` (host pipeline): lax.scan over slots — vmap
+            ``serial=True`` (host pipeline): slots run one-by-one — vmap
             would turn the LM while_loop's lax.conds into selects, so
             every object would pay the gradient-eval gather / capture
             re-gather every iteration (the reference also runs objects
             one stream each). ``serial=False`` (single-jit multi-device
             step): vmap over slots with the gather sampler, so the pool
             axis stays shardable over the "obj" mesh axis — a scan would
-            serialize across devices."""
+            serialize across devices.
+
+            ``obj_axes``: static per-slot scan axes for the band
+            capture (host-picked from the pose mirrors); None disables
+            the band for the objects. When given, the serial path
+            unrolls (each object needs its own static axis)."""
             o = state.objs
             cam_pose = state.cam_pose
             tcfg = (cfg if serial
                     else dataclasses.replace(cfg, sampler="gather"))
 
-            def track_obj(tsdf, weights, vs, pose, assoc, active):
+            def track_obj(tsdf, weights, vs, pose, assoc, active,
+                          subset=False):
                 pts, asc = _track_pts(points, assoc)
                 rel_i = reorthonormalize(pose_inverse(pose) @ cam_pose)
-                rel_o, st = track_volume(tsdf, weights, vs, pts,
-                                         asc, rel_i, tcfg, active=active)
+                if subset:
+                    # Object LM on the top-M assoc-weighted points: an
+                    # object covers a small image fraction and pixels
+                    # with ~zero association contribute ~nothing to its
+                    # normal equations (EMFusion.cpp:692-720 weights by
+                    # assoc), so a static subset keeps the exact gather
+                    # capture affordable (cost is point-count-bound).
+                    M = min(OBJ_TRACK_POINTS, pts.shape[1])
+                    _, idx = jax.lax.top_k(asc, M)
+                    pts_s = jnp.take(pts, idx, axis=1)
+                    asc_s = jnp.take(asc, idx)
+                    rel_o, st = track_volume(
+                        tsdf, weights, vs, pts_s, asc_s, rel_i, tcfg,
+                        active=active)
+                    N_full = pts.shape[1]
+                    tw = jnp.zeros((N_full,), jnp.float32
+                                   ).at[idx].set(st["track_weights"])
+                    hw = jnp.zeros((N_full,), jnp.float32
+                                   ).at[idx].set(st["huber_weights"])
+                else:
+                    rel_o, st = track_volume(
+                        tsdf, weights, vs, pts, asc, rel_i, tcfg,
+                        active=active)
+                    tw = st["track_weights"]
+                    hw = st["huber_weights"]
                 # ObjTSDF::syncTrack: pose = cam_pose * rel^-1
                 return (cam_pose @ pose_inverse(rel_o),
-                        st["track_weights"].reshape(hs, ws),
-                        st["huber_weights"].reshape(hs, ws))
+                        tw.reshape(hs, ws), hw.reshape(hs, ws))
 
             def take(arr):
                 return jnp.take(arr, slots, axis=0)
 
             xs = (take(o.tsdf), take(o.weights), take(o.voxel_size),
                   take(o.pose), take(o.assoc), take(o.active))
-            if serial:
+            if serial and obj_axes is not None:
+                outs = [track_obj(*(x[j] for x in xs), subset=True)
+                        for j in range(len(obj_axes))]
+                new_sub, tw_sub, hw_sub = (jnp.stack(t) for t in
+                                           zip(*outs))
+            elif serial:
                 def scan_body(carry, x):
                     return carry, track_obj(*x)
 
@@ -384,6 +449,8 @@ class EMFusionPipeline:
                                 take(o.pose))
             poses = o.pose.at[slots].set(new_sub)
             return state.replace(objs=o.replace(pose=poses)), tw_sub, hw_sub
+
+        self._cap_band = cap_backend == "band"
 
         def track_all(state: PipelineState, points):
             """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
@@ -650,8 +717,10 @@ class EMFusionPipeline:
         self._integrate_masks = jax.jit(integrate_masks)
         # split frame-step pieces (process_frame path: lets the object LM
         # run over the active slot subset only)
-        self._track_camera = jax.jit(track_camera)
-        self._track_objs_subset = jax.jit(track_objs_subset)
+        self._track_camera = jax.jit(track_camera,
+                                     static_argnames=("bg_axis",))
+        self._track_objs_subset = jax.jit(
+            track_objs_subset, static_argnames=("serial", "obj_axes"))
         self._estep_subset = jax.jit(estep_subset,
                                      static_argnames=("bg_axis",))
         self._raycast_all = jax.jit(raycast_all)
@@ -865,7 +934,8 @@ class EMFusionPipeline:
             pre_bg = state.bg_assoc
             pre_obj = state.objs.assoc
             with self.timer.phase("track_camera"):
-                state, track_w, huber_w = self._track_camera(state, points)
+                state, track_w, huber_w = self._track_camera(
+                    state, points, bg_axis=self._bg_scan_axis())
             if self.save_output:
                 self.outputs["track_weights_bg"][self.frame] = \
                     np.asarray(track_w)
@@ -877,8 +947,10 @@ class EMFusionPipeline:
                     bg_axis=self._bg_scan_axis())   # EMFusion.cpp:687
             if len(slots) > 0:
                 with self.timer.phase("track_objects"):
+                    obj_axes = (self._obj_scan_axes(np.asarray(slots))
+                                if self._cap_band else None)
                     state, obj_tw, obj_hw = self._track_objs_subset(
-                        state, points, slots)
+                        state, points, slots, obj_axes=obj_axes)
                 if self.save_output:
                     ids_now = np.asarray(state.objs.object_id)
                     slot_ids = [int(ids_now[int(s)]) for s in
@@ -1016,6 +1088,22 @@ class EMFusionPipeline:
             return 2
         rel_co = np.linalg.inv(self._h_bg_pose) @ self._h_cam_pose
         return pick_scan_axis(rel_co)
+
+    def _obj_scan_axes(self, slots_np) -> tuple:
+        """Static per-slot band-sweep scan axes from the host pose
+        mirrors (<= 1 frame old — the argmax axis choice is insensitive
+        to frame-scale motion, cf. _bg_scan_axis)."""
+        axes = []
+        for k in slots_np:
+            oid = int(self._h_ids[int(k)])
+            traj = self._obj_poses.get(oid)
+            if traj:
+                pose = traj[max(traj)]
+                rel = np.linalg.inv(pose) @ self._h_cam_pose
+                axes.append(pick_scan_axis(rel))
+            else:
+                axes.append(2)
+        return tuple(axes)
 
     # ------------------------------------------------------------------
     def _apply_store_poses(self, poses_flat: np.ndarray, frame=None):

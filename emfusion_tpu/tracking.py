@@ -58,7 +58,19 @@ class TrackConfig:
     huber_thresh: float = 0.2
     max_tsdf_weight: float = 64.0
     max_iter: int = 100
+    # Re-capture budget per track call: a capture costs a streaming
+    # volume pass (band) or a large gather; beyond the budget drifted
+    # points drop out of the system via the samplers' window masks
+    # instead of forcing another capture.
+    max_recaptures: int = 8
     sampler: str = "auto"
+    # Capture backend: "gather" = per-point HBM neighborhood gather
+    # (geometry.capture, exact voxel reads; ~140 ms/capture at 512^3
+    # on v5e); "band" = banded sweep-capture (geometry.band_capture,
+    # one streaming volume pass, in-plane-resampled values; Pallas
+    # kernels on TPU, XLA reference elsewhere). "auto": band on TPU
+    # when the caller provides band_args, gather otherwise.
+    capture_backend: str = "auto"
 
 
 class _LMState(NamedTuple):
@@ -94,7 +106,7 @@ def _pose_mat(R, t):
 def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
                  voxel_size, points: jnp.ndarray, assoc: jnp.ndarray,
                  rel_pose_co: jnp.ndarray, cfg: TrackConfig,
-                 active=True):
+                 active=True, band_args=None):
     """Run the LM loop for one volume.
 
     Args:
@@ -107,6 +119,13 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
       rel_pose_co: (4, 4) initial camera-to-object transform (caller should
         have re-orthonormalized it, see ``geometry.se3.reorthonormalize``).
       active: scalar bool — False short-circuits (used by vmapped pool).
+      band_args: optional (intr, h, w, SB, LB, axes, backend) enabling
+        the banded sweep-capture (``geometry.band_capture``): ``intr``
+        = intrinsics OF THE TRACKING PIXEL GRID (h, w) the points were
+        built on (raster order required), SB/LB the static B-grid dims,
+        ``axes`` the static scan-axis priority tuple (camera-dominant
+        first; every axis is swept and each point takes the first that
+        serves it), ``backend`` "xla"|"pallas".
 
     Returns (rel_pose_co_final (4,4), stats dict).
     """
@@ -115,12 +134,25 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
     use_capture = cfg.sampler == "capture" or (
         cfg.sampler == "auto"
         and jax.default_backend() not in ("cpu",))
+    use_band = use_capture and band_args is not None and \
+        cfg.capture_backend in ("auto", "band")
     shape = tsdf.shape
     if use_capture:
         vols = jnp.stack([tsdf, weights])
 
-        def recapture(R, t):
-            return capture_neighborhoods(vols, points, R, t, voxel_size)
+        if use_band:
+            from emfusion_tpu.geometry.band_capture import \
+                band_capture_multi
+            b_intr, b_h, b_w, b_SB, b_LB, b_axes, b_backend = band_args
+
+            def recapture(R, t):
+                return band_capture_multi(
+                    vols, points, R, t, voxel_size, b_intr, b_h, b_w,
+                    b_SB, b_LB, axes=b_axes, backend=b_backend)
+        else:
+            def recapture(R, t):
+                return capture_neighborhoods(vols, points, R, t,
+                                             voxel_size)
 
     def eval_system(R, t, cache, anchor):
         """Jacobian rows, residuals and combined weights at a pose.
@@ -169,7 +201,8 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         NOTE: ``lax.cond`` under ``vmap`` degenerates to select (both
         branches execute) — callers batching over volumes should scan,
         not vmap (see pipeline.track_objs_subset)."""
-        ok = skip | drift_ok(anchor, points, R, t, voxel_size, shape)
+        ok = skip | (recaps >= cfg.max_recaptures) \
+            | drift_ok(anchor, points, R, t, voxel_size, shape)
 
         def keep(_):
             return cache, anchor, recaps

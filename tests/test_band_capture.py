@@ -1,0 +1,199 @@
+"""Band-capture (geometry/band_capture.py) semantics tests.
+
+The banded sweep-capture produces caches in the EXACT layout of
+``geometry.capture`` (voxel-aligned 6^3 windows); its entries are
+in-plane bilinear RESAMPLES of the slices instead of raw voxel reads.
+On smooth fields interior caches must closely match the direct gather
+capture, and the downstream tent samplers must track the exact
+trilinear samplers within the documented deviation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from emfusion_tpu.geometry import band_capture as bc
+from emfusion_tpu.geometry.capture import (
+    capture_neighborhoods, drift_ok, sample_system_from_cache,
+    sample_value_from_cache)
+from emfusion_tpu.geometry.sampling import (
+    sample_system_at_points, sample_volume_at_points)
+
+
+def _scene(h=40, w=56, R=48):
+    voxel = 1.6 / R
+    idx = np.arange(R, dtype=np.float32) - (R - 1) / 2
+    zz, yy, xx = np.meshgrid(idx, idx, idx, indexing="ij")
+    d = (zz * voxel - 0.28) + 0.13 * (yy * voxel) \
+        + 0.07 * np.sin(xx * voxel * 6.0) * 0.2
+    tsdf = np.clip(d / 0.2, -1, 1).astype(np.float32)
+    weights = (5.0 + 2.0 * np.cos(yy * voxel * 3.0)).astype(np.float32)
+    vols = jnp.asarray(np.stack([tsdf, weights]))
+
+    f = 60.0
+    intr = jnp.asarray(np.array(
+        [[f, 0, w / 2 - 0.5], [0, f, h / 2 - 0.5], [0, 0, 1]],
+        np.float32))
+    ys, xs = np.mgrid[0:h, 0:w]
+    depth = (1.0 + 0.06 * np.sin(xs / 6.0) * np.cos(ys / 5.0)
+             ).astype(np.float32)
+    pts = np.stack([(xs - (w / 2 - 0.5)) / f * depth,
+                    (ys - (h / 2 - 0.5)) / f * depth, depth],
+                   0).astype(np.float32).reshape(3, -1)
+    th = np.deg2rad(5)
+    Rm = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                   [-np.sin(th), 0, np.cos(th)]], np.float32)
+    tv = np.array([0.01, -0.02, -0.95], np.float32)
+    return dict(vols=vols, intr=intr, pts=jnp.asarray(pts),
+                Rm=jnp.asarray(Rm), tv=jnp.asarray(tv), voxel=voxel,
+                h=h, w=w, shape=(R, R, R))
+
+
+@pytest.fixture(scope="module")
+def cap():
+    s = _scene()
+    SB, LB = bc.grid_dims_for(s["h"], s["w"])
+    cache, anchor = bc.band_capture_xla(
+        s["vols"], s["pts"], s["Rm"], s["tv"], s["voxel"], s["intr"],
+        s["h"], s["w"], SB, LB)
+    ref_cache, ref_anchor = capture_neighborhoods(
+        s["vols"], s["pts"], s["Rm"], s["tv"], s["voxel"])
+    return s, dict(cache=cache, anchor=anchor, ref_cache=ref_cache,
+                   ref_anchor=ref_anchor, SB=SB, LB=LB)
+
+
+def test_anchors_match(cap):
+    s, c = cap
+    np.testing.assert_array_equal(np.asarray(c["anchor"]),
+                                  np.asarray(c["ref_anchor"]))
+
+
+def test_cache_values_match_gather(cap):
+    s, c = cap
+    band = np.asarray(c["cache"])
+    ref = np.asarray(c["ref_cache"])
+    served = np.abs(band).reshape(2, -1, band.shape[-1]).sum(1) > 0
+    # most points fully served on this smooth scene
+    assert served[0].mean() > 0.85
+    m = served[0]
+    err = np.abs(band[0][..., m] - ref[0][..., m])
+    # in-plane bilinear resample vs raw voxel read: small on the
+    # smooth tsdf field (B cells here are finer than a voxel)
+    assert np.median(err) < 0.02
+    assert np.quantile(err, 0.95) < 0.08
+
+
+def test_value_sampler_through_band_cache(cap):
+    """The unchanged capture tent sampler over the band cache tracks
+    the exact trilinear sampler."""
+    s, c = cap
+    exact = sample_volume_at_points(
+        s["vols"][0], s["pts"], s["Rm"], s["tv"], s["voxel"], margin=1)
+    got = sample_value_from_cache(
+        c["cache"][:1], c["anchor"], s["pts"], s["Rm"], s["tv"],
+        s["voxel"], s["shape"], margin=1)[0]
+    ex, gt = np.asarray(exact), np.asarray(got)
+    both = (ex != 0) & (gt != 0)
+    assert both.mean() > 0.6
+    err = np.abs(ex - gt)[both]
+    assert np.median(err) < 0.01
+    assert np.quantile(err, 0.95) < 0.05
+
+
+def test_system_sampler_through_band_cache(cap):
+    s, c = cap
+    psi_e, g3_e = sample_system_at_points(
+        s["vols"][0], s["pts"], s["Rm"], s["tv"], s["voxel"])
+    psi_b, g3_b = sample_system_from_cache(
+        c["cache"][0], c["anchor"], s["pts"], s["Rm"], s["tv"],
+        s["voxel"], s["shape"])
+    pe, pb = np.asarray(psi_e), np.asarray(psi_b)
+    both = (pe != 0) & (pb != 0)
+    assert both.mean() > 0.5
+    assert np.median(np.abs(pe - pb)[both]) < 0.01
+    ge, gb_ = np.asarray(g3_e), np.asarray(g3_b)
+    gboth = both & np.all(ge != 0, 0) & np.all(gb_ != 0, 0)
+    scale = np.abs(ge[:, gboth]).mean() + 1e-9
+    gerr = np.abs(ge - gb_)[:, gboth] / scale
+    assert np.median(gerr) < 0.1
+    assert np.quantile(gerr, 0.9) < 0.4
+
+
+def test_moved_pose_sampling(cap):
+    """Within the drift margin, the band cache evaluates at a moved
+    pose and still tracks the exact sampler (the LM-iteration use)."""
+    s, c = cap
+    tv2 = s["tv"] + jnp.asarray(
+        np.array([0.4 * s["voxel"], -0.3 * s["voxel"],
+                  0.5 * s["voxel"]], np.float32))
+    assert bool(drift_ok(c["anchor"], s["pts"], s["Rm"], tv2,
+                         s["voxel"], s["shape"]))
+    exact = sample_volume_at_points(
+        s["vols"][0], s["pts"], s["Rm"], tv2, s["voxel"], margin=1)
+    got = sample_value_from_cache(
+        c["cache"][:1], c["anchor"], s["pts"], s["Rm"], tv2,
+        s["voxel"], s["shape"], margin=1)[0]
+    ex, gt = np.asarray(exact), np.asarray(got)
+    both = (ex != 0) & (gt != 0)
+    assert both.mean() > 0.5
+    assert np.median(np.abs(ex - gt)[both]) < 0.012
+
+
+def test_track_volume_band_vs_gather():
+    """Full LM pose parity: the band capture must steer the tracker to
+    (essentially) the same pose as the exact gather capture."""
+    from emfusion_tpu.tracking import TrackConfig, track_volume
+
+    s = _scene()
+    SB, LB = bc.grid_dims_for(s["h"], s["w"])
+    # perturb the capture pose: the LM should pull it back toward the
+    # scene pose (the depth map is consistent-ish with the SDF plane)
+    init = np.eye(4, dtype=np.float32)
+    init[:3, :3] = np.asarray(s["Rm"])
+    init[:3, 3] = np.asarray(s["tv"])
+    cfg_g = TrackConfig(max_iter=12, sampler="capture",
+                        capture_backend="gather")
+    cfg_b = TrackConfig(max_iter=12, sampler="capture",
+                        capture_backend="band")
+    args = (s["vols"][0], s["vols"][1], s["voxel"], s["pts"],
+            jnp.ones((s["pts"].shape[1],), jnp.float32),
+            jnp.asarray(init))
+    pose_g, st_g = track_volume(*args, cfg_g)
+    pose_b, st_b = track_volume(
+        *args, cfg_b,
+        band_args=(s["intr"], s["h"], s["w"], SB, LB, (2, 1, 0),
+                   "xla"))
+    pg, pb = np.asarray(pose_g), np.asarray(pose_b)
+    # both ran (some iterations) and agree to a small fraction of a voxel
+    assert int(st_g["iterations"]) > 0
+    assert np.linalg.norm(pg[:3, 3] - pb[:3, 3]) < 0.35 * s["voxel"]
+    assert np.abs(pg[:3, :3] - pb[:3, :3]).max() < 0.02
+
+
+def test_pallas_band_capture_parity():
+    """Pallas K1+K2 (interpret mode) vs the XLA reference band capture:
+    same serving pattern, bf16-rounded values."""
+    from emfusion_tpu.ops.pallas.band_pallas import band_capture_pallas
+
+    s = _scene()
+    SB, LB = bc.grid_dims_for(s["h"], s["w"])
+    cache_x, anchor_x = bc.band_capture_xla(
+        s["vols"], s["pts"], s["Rm"], s["tv"], s["voxel"], s["intr"],
+        s["h"], s["w"], SB, LB)
+    cache_p, anchor_p = band_capture_pallas(
+        s["vols"], s["pts"], s["Rm"], s["tv"], s["voxel"], s["intr"],
+        s["h"], s["w"], SB, LB, interpret=True)
+    np.testing.assert_array_equal(np.asarray(anchor_x),
+                                  np.asarray(anchor_p))
+    cx = np.asarray(cache_x)
+    cp = np.asarray(cache_p)
+    served_x = np.abs(cx[0]).reshape(-1, cx.shape[-1]).sum(0) > 0
+    served_p = np.abs(cp[0]).reshape(-1, cp.shape[-1]).sum(0) > 0
+    # serving pattern agrees except isolated boundary flips
+    assert (served_x != served_p).mean() < 0.05
+    both = served_x & served_p
+    err = np.abs(cx[0][..., both] - cp[0][..., both])
+    assert np.median(err) < 5e-3                  # bf16 band rounding
+    assert np.quantile(err, 0.99) < 0.05
+    errw = np.abs(cx[1][..., both] - cp[1][..., both])
+    assert np.quantile(errw / 7.0, 0.99) < 0.05
