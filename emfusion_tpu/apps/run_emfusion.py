@@ -109,8 +109,18 @@ def main(argv=None):
     reader.init()
 
     provider = ReplayMaskProvider(args.maskdir) if args.maskdir else None
+    # multi-device runs: build the (obj, z) mesh and shard the pipeline
+    # state over it — the distributed analogue of the reference's
+    # per-object CUDA streams (SURVEY.md §2.4); the frame loop then
+    # uses the shard_map fusion / sharded marching cubes.
+    mesh = None
+    if len(jax.devices()) > 1:
+        from emfusion_tpu.distributed.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+              f"over {mesh.size} devices")
     pipe = EMFusionPipeline(params, provider,
-                            save_output=bool(args.exportdir))
+                            save_output=bool(args.exportdir), mesh=mesh)
 
     skip_until = 0
     if args.checkpoint and args.resume and os.path.exists(args.checkpoint):

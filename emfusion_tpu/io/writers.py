@@ -150,11 +150,22 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
 
     import jax.numpy as jnp
     bg_t = pipe.state.bg_tsdf.astype(jnp.float32)  # bf16 storage -> f32
-    verts, norms, tris = extract_mesh(
-        bg_t, compute_gradients(bg_t),
-        pipe.state.bg_weights > 0,
-        float(pipe.params.globalVoxelSize),
-        max_verts=pipe.params.mc_max_verts)
+    mesh = getattr(pipe, "mesh", None)
+    if mesh is not None and mesh.shape.get("z", 1) > 1:
+        # mesh runs: z-sharded marching cubes (one-plane ppermute halo,
+        # per-shard emission; BASELINE stress config requirement)
+        from emfusion_tpu.distributed.sharded_ops import \
+            extract_mesh_zsharded
+        verts, norms, tris = extract_mesh_zsharded(
+            mesh, bg_t, compute_gradients(bg_t),
+            pipe.state.bg_weights > 0,
+            float(pipe.params.globalVoxelSize))
+    else:
+        verts, norms, tris = extract_mesh(
+            bg_t, compute_gradients(bg_t),
+            pipe.state.bg_weights > 0,
+            float(pipe.params.globalVoxelSize),
+            max_verts=pipe.params.mc_max_verts)
     emit(f"mesh_bg_{frame:04d}.ply", verts, norms, tris)
     o = pipe.state.objs
     for oid in pipe.active_object_ids:

@@ -115,8 +115,28 @@ class EMFusionPipeline:
 
     def __init__(self, params: Params,
                  mask_provider: Optional[seg_mod.MaskProvider] = None,
-                 save_output: bool = False):
+                 save_output: bool = False, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with ("obj", "z")
+        axes (``distributed.mesh.make_mesh``). When given and larger
+        than one device, the pipeline state is sharded over it at init
+        (object pool over "obj", background volume Z over "z"), the
+        background fusion runs through the no-allgather ``shard_map``
+        kernel, and mesh exports use the z-sharded marching cubes. The
+        single-chip Pallas backends are disabled in favor of the XLA
+        paths (they are per-device programs; their shard_map variants
+        are future work — the partitioner handles the XLA paths)."""
         self.params = params
+        self.mesh = None
+        if mesh is not None and mesh.size > 1:
+            self.mesh = mesh
+            import dataclasses as _dc
+            # sharded runs force the partitionable XLA backends and the
+            # static axis-2 scan (the shard_map fusion's layout)
+            params = _dc.replace(
+                params, fusion_backend="pencil",
+                raycast_backend="sweep", estep_backend="gather",
+                capture_backend="gather", bilateral_backend="xla")
+            self.params = params
         self.mask_provider = mask_provider
         self.save_output = save_output
         self.frame = 0
@@ -144,6 +164,9 @@ class EMFusionPipeline:
                            else jnp.float32)
 
         self.state = self._init_state()
+        if self.mesh is not None:
+            from emfusion_tpu.distributed.mesh import shard_state
+            self.state = shard_state(self.state, self.mesh)
         self._next_id = 1
         self.meta: Dict[int, ObjectMeta] = {}
         # Host mirrors of the small lifecycle state. Every device->host
@@ -368,7 +391,9 @@ class EMFusionPipeline:
                 band_args=_band_args(bg_axis))
             tw = stats["track_weights"].reshape(hs, ws)
             hw = stats["huber_weights"].reshape(hs, ws)
-            return state.replace(cam_pose=state.bg_pose @ rel), tw, hw
+            dbg = jnp.stack([stats["iterations"].astype(jnp.float32),
+                             stats["recaptures"].astype(jnp.float32)])
+            return state.replace(cam_pose=state.bg_pose @ rel), tw, hw, dbg
 
         def track_objs_subset(state: PipelineState, points, slots,
                               serial: bool = True, obj_axes=None):
@@ -456,7 +481,7 @@ class EMFusionPipeline:
             """performTracking (EMFusion.cpp:672-724): camera LM, E-step,
             then all objects batched (full-pool variant used by the
             single-jit frame step / sharding dry runs)."""
-            state, _, _ = track_camera(state, points)
+            state, _, _, _ = track_camera(state, points)
             state = estep(state, points)
             state, _, _ = track_objs_subset(state, points,
                                             jnp.arange(K, dtype=jnp.int32),
@@ -614,14 +639,29 @@ class EMFusionPipeline:
         def integrate_subset(state: PipelineState, depth, slots, bg_axis=2):
             """integrateDepth (EMFusion.cpp:865-889): bg + the given
             object slots (visible ones actually update). ``bg_axis``:
-            static scan axis for the background pencil fusion."""
+            static scan axis for the background pencil fusion.
+
+            Mesh runs: the background update goes through the z-sharded
+            ``shard_map`` fusion — each device scans only its local Z
+            slices, NO volume all-gather (HLO-audited in
+            tests/test_distributed.py)."""
             rel_bg_oc = pose_inverse(state.cam_pose) @ state.bg_pose
-            kw = ({"axis": bg_axis}
-                  if backend in ("pencil", "pallas") else {})
-            bg_t, bg_w = fuse_fn(
-                state.bg_tsdf, state.bg_weights, depth, state.bg_assoc,
-                rel_bg_oc[:3, :3], rel_bg_oc[:3, 3], intr, bg_voxel,
-                bg_trunc, tsdfp.maxTSDFWeight, **kw)
+            if self.mesh is not None and self.mesh.shape["z"] > 1:
+                from emfusion_tpu.distributed.sharded_ops import \
+                    integrate_tsdf_pencil_zsharded
+                bg_t, bg_w = integrate_tsdf_pencil_zsharded(
+                    self.mesh, state.bg_tsdf, state.bg_weights, depth,
+                    state.bg_assoc, rel_bg_oc[:3, :3],
+                    rel_bg_oc[:3, 3], intr, bg_voxel, bg_trunc,
+                    tsdfp.maxTSDFWeight, bf16=p.matmul_bf16)
+            else:
+                kw = ({"axis": bg_axis}
+                      if backend in ("pencil", "pallas") else {})
+                bg_t, bg_w = fuse_fn(
+                    state.bg_tsdf, state.bg_weights, depth,
+                    state.bg_assoc, rel_bg_oc[:3, :3],
+                    rel_bg_oc[:3, 3], intr, bg_voxel, bg_trunc,
+                    tsdfp.maxTSDFWeight, **kw)
             # preserve the storage dtype (XLA paths compute/return f32)
             bg_t = bg_t.astype(state.bg_tsdf.dtype)
             bg_w = bg_w.astype(state.bg_weights.dtype)
@@ -726,8 +766,9 @@ class EMFusionPipeline:
         self._raycast_all = jax.jit(raycast_all)
         self._raycast_subset = jax.jit(raycast_subset,
                                        static_argnames=("bg_axis",))
-        self._scan_axis_dynamic = backend in ("pencil", "pallas") or \
-            rc_backend == "sweep"
+        self._scan_axis_dynamic = (self.mesh is None
+                                   and (backend in ("pencil", "pallas")
+                                        or rc_backend == "sweep"))
         # raw (unjitted) versions for custom jit wrapping (sharded runs,
         # __graft_entry__, benchmarks)
         self._frame_track_fn = frame_track
@@ -934,8 +975,13 @@ class EMFusionPipeline:
             pre_bg = state.bg_assoc
             pre_obj = state.objs.assoc
             with self.timer.phase("track_camera"):
-                state, track_w, huber_w = self._track_camera(
+                state, track_w, huber_w, track_dbg = self._track_camera(
                     state, points, bg_axis=self._bg_scan_axis())
+                if os.environ.get("EMF_TRACK_STATS"):
+                    it_, rc_ = np.asarray(track_dbg)
+                    logger.info("frame %d camera LM: %d iters, "
+                                "%d recaptures", self.frame, int(it_),
+                                int(rc_))
             if self.save_output:
                 self.outputs["track_weights_bg"][self.frame] = \
                     np.asarray(track_w)
