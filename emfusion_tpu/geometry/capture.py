@@ -126,12 +126,22 @@ def _local_coords(anchor, points_cam, rel_rot, rel_trans, voxel_size,
     return (vx, vy, vz, pz), (lx, ly, lz)
 
 
-def drift_ok(anchor, points_cam, rel_rot, rel_trans, voxel_size, shape):
-    """True iff every *relevant* point's local coords allow both value
-    and (+1-shifted) system sampling from the cache: vl in [0, WIN-2]
-    per axis. Relevant = in front of the camera and within one voxel of
-    the volume (points far outside never contribute — masked to zero by
-    the samplers' validity — and must not force re-captures)."""
+def drift_ok(anchor, points_cam, rel_rot, rel_trans, voxel_size, shape,
+             tol: float = 0.01):
+    """True iff (almost) every *relevant* point's local coords allow
+    both value and (+1-shifted) system sampling from the cache: vl in
+    [0, WIN-2] per axis. Relevant = in front of the camera and within
+    one voxel of the volume (points far outside never contribute —
+    masked to zero by the samplers' validity — and must not force
+    re-captures).
+
+    ``tol``: fraction of relevant points allowed outside their windows
+    before a re-capture fires. A capture costs a streaming volume pass
+    (or a large gather); a handful of frustum-edge outliers crossing
+    their window boundary after a sub-voxel pose step used to trigger
+    a full re-capture per LM step (measured: the camera LM burned its
+    whole budget every frame). Out-of-window points contribute nothing
+    meanwhile (the samplers' ``_window_ok`` masks them)."""
     Z, Y, X = shape
     (vx, vy, vz, pz), (lx, ly, lz) = _local_coords(
         anchor, points_cam, rel_rot, rel_trans, voxel_size, shape)
@@ -140,7 +150,9 @@ def drift_ok(anchor, points_cam, rel_rot, rel_trans, voxel_size, shape):
     hi = WIN - 2.0
     bad = (lx < 0) | (lx > hi) | (ly < 0) | (ly > hi) \
         | (lz < 0) | (lz > hi)
-    return ~jnp.any(rel & bad)
+    nrel = jnp.maximum(jnp.sum(rel.astype(jnp.float32)), 1.0)
+    nbad = jnp.sum((rel & bad).astype(jnp.float32))
+    return nbad <= tol * nrel
 
 
 def _window_ok(lx, ly, lz):

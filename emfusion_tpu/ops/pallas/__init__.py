@@ -3,18 +3,24 @@
 Design note: TPUs have no fast arbitrary gather — XLA lowers `jnp.take`
 to a ~0.1 G/s scalar loop (measured on v5e), which makes the reference's
 CUDA formulation (per-voxel random access into the depth image,
-``src/core/cuda/TSDF.cu:327-427``) unusable. The only vectorized gather
-Mosaic exposes is `tpu.dynamic_gather` over one axis of a 2-D tile
-(per-lane row indices or per-sublane lane indices). Every kernel here is
-therefore reformulated so its memory access pattern is a composition of
-axis-aligned dynamic gathers:
+``src/core/cuda/TSDF.cu:327-427``) unusable. Every kernel here is
+therefore reformulated so its memory access is streaming (grid-pipelined
+HBM blocks) plus on-chip one-hot/2-tap interpolation MATMULS over
+VMEM-resident grids:
 
-  * fusion: per-z-slice the voxel->pixel map is a homography, so the
-    depth lookup becomes a two-pass warp (closed-form index-corrected,
-    Catmull-Smith style) = two dynamic gathers per slice.
-  * raycast: plane-sweep re-formulation (see raycast_pallas).
+  * ``fusion_pencil_pallas``: per-z-slice TSDF fusion (the production
+    ``kernel_updateTSDF`` path).
+  * ``sweep_pallas``: B-space plane-sweep raycast + along-ray E-step
+    sampling.
+  * ``band_pallas``: banded sweep-capture for the LM tracking caches.
+  * ``warp_pallas``: homography image warps (pencil stage 1 and the
+    sweep's pixel lookups).
+  * ``bilateral_pallas``: depth preprocessing stencil.
+
+Status note (r3 re-probe): Mosaic now compiles 2-D
+``jnp.take_along_axis`` inside kernels on this stack (it was rejected
+in r1/r2 — the reason the first-generation ``fusion_pallas.py`` was
+dormant and has been removed). Axis-aligned dynamic gathers are
+therefore available for future kernels, but the one-hot matmul
+formulation remains the measured-fastest path for the current ops.
 """
-
-from emfusion_tpu.ops.pallas.fusion_pallas import (  # noqa: F401
-    integrate_tsdf_pallas,
-)

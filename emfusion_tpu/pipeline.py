@@ -978,10 +978,11 @@ class EMFusionPipeline:
                 state, track_w, huber_w, track_dbg = self._track_camera(
                     state, points, bg_axis=self._bg_scan_axis())
                 if os.environ.get("EMF_TRACK_STATS"):
+                    import sys as _sys
                     it_, rc_ = np.asarray(track_dbg)
-                    logger.info("frame %d camera LM: %d iters, "
-                                "%d recaptures", self.frame, int(it_),
-                                int(rc_))
+                    print(f"frame {self.frame} camera LM: {int(it_)} "
+                          f"iters, {int(rc_)} recaptures",
+                          file=_sys.stderr, flush=True)
             if self.save_output:
                 self.outputs["track_weights_bg"][self.frame] = \
                     np.asarray(track_w)

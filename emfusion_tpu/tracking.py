@@ -61,8 +61,9 @@ class TrackConfig:
     # Re-capture budget per track call: a capture costs a streaming
     # volume pass (band) or a large gather; beyond the budget drifted
     # points drop out of the system via the samplers' window masks
-    # instead of forcing another capture.
-    max_recaptures: int = 8
+    # instead of forcing another capture. Frame-scale motion is ~1-2
+    # voxels, so a converging LM rarely needs more than 2.
+    max_recaptures: int = 3
     sampler: str = "auto"
     # Capture backend: "gather" = per-point HBM neighborhood gather
     # (geometry.capture, exact voxel reads; ~140 ms/capture at 512^3
