@@ -141,19 +141,31 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
     if use_capture:
         vols = jnp.stack([tsdf, weights])
 
+        # LM caches are stored at the VOLUME's storage dtype: every
+        # iteration's tent evals re-read the (2, 6^3, N) cache from HBM
+        # (~59 MB f32 at N=34k, ~100 iterations/frame), so bf16 storage
+        # halves the dominant per-iteration traffic. On TPU the source
+        # volumes are bf16 already (and the band cache is bf16-rounded
+        # by construction), so the cast loses nothing; on CPU volumes
+        # are f32 and the caches stay exact.
+        cache_dtype = tsdf.dtype if tsdf.dtype == jnp.bfloat16 \
+            else jnp.float32
+
         if use_band:
             from emfusion_tpu.geometry.band_capture import \
                 band_capture_multi
             b_intr, b_h, b_w, b_SB, b_LB, b_axes, b_backend = band_args
 
             def recapture(R, t):
-                return band_capture_multi(
+                c, a = band_capture_multi(
                     vols, points, R, t, voxel_size, b_intr, b_h, b_w,
                     b_SB, b_LB, axes=b_axes, backend=b_backend)
+                return c.astype(cache_dtype), a
         else:
             def recapture(R, t):
-                return capture_neighborhoods(vols, points, R, t,
+                c, a = capture_neighborhoods(vols, points, R, t,
                                              voxel_size)
+                return c.astype(cache_dtype), a
 
     def eval_system(R, t, cache, anchor):
         """Jacobian rows, residuals and combined weights at a pose.
@@ -306,7 +318,7 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
         cache0, anchor0 = jax.lax.cond(
             active_flag,
             lambda _: recapture(rel_pose_co[:3, :3], rel_pose_co[:3, 3]),
-            lambda _: (jnp.zeros((2, WIN, WIN, WIN, N), f32),
+            lambda _: (jnp.zeros((2, WIN, WIN, WIN, N), cache_dtype),
                        jnp.zeros((3, N), jnp.int32)),
             None)
     else:
