@@ -131,8 +131,8 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
     """Per-frame mesh dumps (reference ``frame_meshes/`` tree, written by
     the 3D-vis path, ``EMFusion.cpp:1263-1300``). Uses the native async
     writer when available so meshing/export stays off the frame loop."""
-    from emfusion_tpu.ops.marching_cubes import extract_mesh
-    from emfusion_tpu.ops.fusion import compute_gradients
+    from emfusion_tpu.ops.marching_cubes import (
+        extract_mesh, extract_mesh_sparse)
     from emfusion_tpu.volume import fg_probs as _fgp
     os.makedirs(path, exist_ok=True)
     try:
@@ -156,14 +156,21 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
         # per-shard emission; BASELINE stress config requirement)
         from emfusion_tpu.distributed.sharded_ops import \
             extract_mesh_zsharded
+        from emfusion_tpu.ops.fusion import compute_gradients
+        ns = mesh.shape["z"]
         verts, norms, tris = extract_mesh_zsharded(
             mesh, bg_t, compute_gradients(bg_t),
             pipe.state.bg_weights > 0,
-            float(pipe.params.globalVoxelSize))
+            float(pipe.params.globalVoxelSize),
+            max_verts_per_shard=max(
+                pipe.params.mc_max_verts // ns, 1 << 14),
+            max_tris_per_shard=max(
+                2 * pipe.params.mc_max_verts // ns, 1 << 15))
     else:
-        verts, norms, tris = extract_mesh(
-            bg_t, compute_gradients(bg_t),
-            pipe.state.bg_weights > 0,
+        # sparse extraction: full-res (512^3) single-chip meshing in
+        # seconds, no full-volume emit intermediates
+        verts, norms, tris = extract_mesh_sparse(
+            bg_t, pipe.state.bg_weights > 0,
             float(pipe.params.globalVoxelSize),
             max_verts=pipe.params.mc_max_verts)
     emit(f"mesh_bg_{frame:04d}.ply", verts, norms, tris)
@@ -237,13 +244,12 @@ def write_results(pipe, path: str, export_volumes: bool = False) -> None:
 
     # meshes (requires ops.marching_cubes)
     try:
-        from emfusion_tpu.ops.marching_cubes import extract_mesh
-        from emfusion_tpu.ops.fusion import compute_gradients
+        from emfusion_tpu.ops.marching_cubes import (
+            extract_mesh, extract_mesh_sparse)
         import jax.numpy as jnp
         bg_t = pipe.state.bg_tsdf.astype(jnp.float32)  # bf16 -> f32
-        verts, norms, tris = extract_mesh(
-            bg_t, compute_gradients(bg_t),
-            pipe.state.bg_weights > 0,
+        verts, norms, tris = extract_mesh_sparse(
+            bg_t, pipe.state.bg_weights > 0,
             float(pipe.params.globalVoxelSize),
             max_verts=pipe.params.mc_max_verts)
         write_ply(os.path.join(path, "mesh_bg.ply"), verts, norms, tris)

@@ -2,7 +2,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from emfusion_tpu.ops.fusion import compute_gradients
-from emfusion_tpu.ops.marching_cubes import extract_mesh
+from emfusion_tpu.ops.marching_cubes import (extract_mesh,
+                                             extract_mesh_chunked,
+                                             extract_mesh_sparse)
 from emfusion_tpu.ops.mc_tables import EDGE_TABLE, TRI_TABLE, NUM_VERTS
 from tests.test_raycast import sphere_volume
 
@@ -84,6 +86,65 @@ def test_mask_limits_extraction():
                                   max_verts=100_000, max_tris=100_000)
     assert len(verts) > 100
     assert (verts[:, 1] >= -0.05).all()  # only y >= boundary region
+
+
+def test_chunked_matches_single_pass():
+    """The z-chunked extraction (512^3-capable path: no full-volume
+    intermediates) must emit EXACTLY the single-pass mesh: cube emission
+    is z-major and per-cube, so band concatenation preserves order."""
+    res = 48
+    tsdf, weights = sphere_volume(res, 0.05, 0.8, 0.25)
+    grads = compute_gradients(jnp.asarray(tsdf))
+    mask = weights > 0
+    v1, n1, t1 = extract_mesh(tsdf, grads, mask, 0.05,
+                              max_verts=300_000, max_tris=300_000)
+    # z_chunk that does NOT divide res-1 exercises the clamped+overlap
+    # final band
+    for zc in (13, 16):
+        v2, n2, t2 = extract_mesh_chunked(tsdf, mask, 0.05,
+                                          max_verts=300_000,
+                                          max_tris=300_000, z_chunk=zc)
+        assert len(v1) == len(v2) and len(t1) == len(t2), zc
+        # identical emission order; verts differ only by the rounding of
+        # (zi_local*v + z_origin) vs (zi_global*v + global_origin)
+        np.testing.assert_allclose(v1, v2, atol=1e-5)
+        np.testing.assert_array_equal(n1, n2)
+        np.testing.assert_array_equal(t1, t2)
+
+
+def test_sparse_matches_single_pass():
+    """The sparse (wide-scatter compaction + host packing) extractor —
+    the TPU production path for 512^3 meshing — must reproduce the
+    dense path exactly, including under band splits (tiny m_cap)."""
+    res = 48
+    tsdf, weights = sphere_volume(res, 0.05, 0.8, 0.25)
+    grads = compute_gradients(jnp.asarray(tsdf))
+    mask = weights > 0
+    v1, n1, t1 = extract_mesh(tsdf, grads, mask, 0.05,
+                              max_verts=300_000, max_tris=300_000)
+    for zc, mc in ((13, 1 << 17), (16, 1 << 17), (48, 2048)):
+        v2, n2, t2 = extract_mesh_sparse(tsdf, mask, 0.05,
+                                         max_verts=300_000,
+                                         max_tris=300_000, z_chunk=zc,
+                                         m_cap=mc)
+        assert len(v1) == len(v2) and len(t1) == len(t2), (zc, mc)
+        np.testing.assert_allclose(v1, v2, atol=1e-5)
+        # normals travel at f16 (relay-traffic halving; unit vectors)
+        np.testing.assert_allclose(n1, n2, atol=1e-3)
+        np.testing.assert_array_equal(t1, t2)
+
+
+def test_chunked_empty_and_small():
+    tsdf = np.ones((8, 8, 8), np.float32)
+    verts, norms, tris = extract_mesh_chunked(
+        tsdf, np.ones_like(tsdf, bool), 0.1, z_chunk=4)
+    assert len(verts) == 0 and len(tris) == 0
+    # volume smaller than any chunk falls back to single-pass
+    tsdf, weights = sphere_volume(5, 0.1, 0.2, 0.3)
+    v, n, t = extract_mesh_chunked(tsdf, weights > 0, 0.1, z_chunk=32)
+    g = compute_gradients(jnp.asarray(tsdf))
+    v1, n1, t1 = extract_mesh(tsdf, g, weights > 0, 0.1)
+    np.testing.assert_array_equal(v, v1)
 
 
 def test_empty_volume():
