@@ -150,6 +150,30 @@ class Params:
     # recency-weighted averaging). "auto" = bfloat16 on TPU, float32
     # elsewhere; gated by tests/test_accuracy_gate.py.
     volume_dtype: str = "auto"
+    # Background free-space carving distance (meters): free-space depth
+    # evidence with sdf >= this integrates into the BACKGROUND at full
+    # weight 1.0 instead of the (near-zero at object pixels) background
+    # association weight. The reference uses weight 1 only beyond
+    # +truncdist (TSDF.cu:382-397), which lets a pre-spawn imprint of a
+    # departing object linger in the background: its raycast hit is
+    # >5 cm nearer than the object's, the compositor's bg override
+    # (EMFusion.cpp:773-776) blanks the object's segmentation, and the
+    # visibility check deletes a well-tracked object. The default sits
+    # 1 cm INSIDE the 5 cm override distance so the interpolated
+    # crossing between the last carved (positive) voxel and the first
+    # still-stale negative one lands safely under the override. Set
+    # <= 0 to disable (exact reference semantics). Background only.
+    bg_carve_dist: float = 0.04
+    # On carve votes the STORED background weight entering the running
+    # average is clamped to this value. 0.0 = the free-space
+    # measurement REPLACES the contradicted stored value outright: any
+    # averaging lags the sign flip by ~cap frames, and against a
+    # receding object that lag keeps the stale crossing permanently
+    # ~cap cm ahead of the carve boundary (measured: the 512^3 bench
+    # object still died with cap=1). Static free space is
+    # value-unaffected (measurements there already agree; the voxel's
+    # weight pins at ~1). Set >= maxTSDFWeight to disable the clamp.
+    bg_carve_weight_cap: float = 0.0
 
     @property
     def intr(self) -> np.ndarray:

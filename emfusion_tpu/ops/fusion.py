@@ -52,7 +52,8 @@ def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
                    depth: jnp.ndarray, assoc_weights: jnp.ndarray,
                    rel_rot_oc: jnp.ndarray, rel_trans_oc: jnp.ndarray,
                    intr: jnp.ndarray, voxel_size, truncdist,
-                   max_weight: float):
+                   max_weight: float, carve_dist=None,
+                   carve_weight_cap=None):
     """Weighted projective TSDF fusion with association weights.
 
     Faithful to ``kernel_updateTSDF`` semantics including the carving rules:
@@ -64,8 +65,36 @@ def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
         weight as integration weight (weight 1.0 in free space beyond
         +truncdist), capped at ``max_weight`` (``TSDF.cu:382-397``).
 
+    ``carve_dist`` (default ``truncdist`` = exact reference semantics):
+    free-space measurements ``sdf >= carve_dist`` integrate at full
+    weight 1.0 instead of the association weight. The reference applies
+    weight 1 only beyond ``+truncdist``, so a surface burned into the
+    BACKGROUND before an object was spawned (frame-0 association is 1
+    everywhere, ``EMFusion.cpp:55``) erodes only at the object pixels'
+    near-zero bg association weight once the object moves away — the
+    stale imprint stays raycastable, the >5 cm bg override then blanks
+    the object's segmentation, and the visibility check deletes a
+    perfectly tracked object. Setting ``carve_dist`` to the override
+    distance (``Params.bg_carve_dist``) lets contradicted free space
+    decay at the same rate the compositor starts trusting it.
+
+    ``carve_weight_cap``: on carve votes (``sdf >= carve_dist``) the
+    STORED weight entering the running average is clamped to this value
+    (None = no clamp). Without it a surface integrated for k frames
+    carries weight ~k and free-space evidence at weight 1/frame takes
+    ~k more frames to flip the sign — the stale crossing outruns the
+    carving for exactly as long as the object was static before moving
+    (measured: the 512^3 bench object still dies at frame 10 with
+    carve_dist alone). A voxel on an unoccluded ray in front of the
+    measured surface is empty NOW; capping the stale weight (not
+    resetting — depth noise still averages over ~cap+1 frames) lets
+    truth win in O(cap) frames. Static free space is unaffected in
+    value (measurements there already agree).
+
     Returns (tsdf, weights) updated.
     """
+    if carve_dist is None:
+        carve_dist = truncdist
     Z, Y, X = tsdf.shape
     H, W = depth.shape
     fx, fy = intr[0, 0], intr[1, 1]
@@ -94,12 +123,18 @@ def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
 
     in_band = valid & (sdf >= -truncdist)
     tsdf_meas = jnp.sign(sdf) * jnp.minimum(1.0, jnp.abs(sdf) / truncdist)
-    new_w = jnp.where(sdf < truncdist, assoc_val, 1.0)
+    carving = valid & (sdf >= carve_dist)
+    new_w = jnp.where(carving, 1.0, assoc_val)
+    w_eff = weights
+    if carve_weight_cap is not None:
+        w_eff = jnp.where(carving,
+                          jnp.minimum(weights, carve_weight_cap),
+                          weights)
 
-    denom = weights + new_w
+    denom = w_eff + new_w
     do_update = in_band & (denom > 0.0)
-    fused = (weights * tsdf + new_w * tsdf_meas) / jnp.where(do_update, denom,
-                                                             1.0)
+    fused = (w_eff * tsdf + new_w * tsdf_meas) / jnp.where(do_update, denom,
+                                                           1.0)
     tsdf_out = jnp.where(do_update, fused, tsdf)
     weights_out = jnp.where(do_update, jnp.minimum(denom, max_weight), weights)
 

@@ -339,7 +339,8 @@ def warp_image_to_grid(img, Bmat, H: int, W: int, a0, b0, da, db,
 def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
                       intr, voxel_size, truncdist, max_weight,
                       SB: int, LB: int, bf16: bool = False,
-                      windowed: bool = False):
+                      windowed: bool = False, carve_dist=None,
+                      carve_weight_cap=None):
     Z, Y, X = tsdf.shape
     H, W = depth.shape
     f32 = jnp.float32
@@ -348,14 +349,16 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 
     Bmat, Binv, abg, camc, D_B, A_B, scal = _pencil_stage1(
         depth, assoc, rel_rot, rel_trans, intr, voxel_size,
-        (Z, Y, X), truncdist, max_weight, SB, LB)
+        (Z, Y, X), truncdist, max_weight, SB, LB,
+        carve_dist=carve_dist, carve_weight_cap=carve_weight_cap)
     return _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
                         SB=SB, LB=LB, bf16=bf16, windowed=windowed,
                         H=H, W=W)
 
 
 def _pencil_stage1(depth, assoc, rel_rot, rel_trans, intr, voxel_size,
-                   shape, truncdist, max_weight, SB: int, LB: int):
+                   shape, truncdist, max_weight, SB: int, LB: int,
+                   carve_dist=None, carve_weight_cap=None):
     """Global (z-independent) part of the pencil factorization: setup,
     image->B-grid warps, per-slice coefficient rows and the scalar
     bundle consumed by the slice scan. Shared by the single-device path
@@ -374,11 +377,17 @@ def _pencil_stage1(depth, assoc, rel_rot, rel_trans, intr, voxel_size,
     SA = max(8, (SB // 2 + 7) // 8 * 8)
     LA = max(128, (LB // 2 + 127) // 128 * 128)
     A_B = warp_image_to_grid(assoc, Bmat, H, W, a0, b0, da, db, SA, LA)
+    if carve_dist is None:
+        carve_dist = truncdist
+    if carve_weight_cap is None:
+        carve_weight_cap = 1e30          # no clamp
     scal = jnp.stack([
         a0, b0, da, db, capx[0], capx[1], capx[2], capy[0], capy[1],
         capy[2], intr[0, 0], intr[1, 1], intr[0, 2], intr[1, 2],
         jnp.asarray(truncdist, jnp.float32),
-        jnp.asarray(max_weight, jnp.float32)]).astype(jnp.float32)
+        jnp.asarray(max_weight, jnp.float32),
+        jnp.asarray(carve_dist, jnp.float32),
+        jnp.asarray(carve_weight_cap, jnp.float32)]).astype(jnp.float32)
     return Bmat, Binv, abg, camc, D_B, A_B, scal
 
 
@@ -398,6 +407,7 @@ def _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
     capy = scal[7:10]
     fx, fy, cx, cy = scal[10], scal[11], scal[12], scal[13]
     truncdist, max_weight = scal[14], scal[15]
+    carve_dist, carve_cap = scal[16], scal[17]
 
     pq_p = jnp.arange(X, dtype=f32)
     pq_q = jnp.arange(Y, dtype=f32)
@@ -527,11 +537,17 @@ def _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
 
         in_band = valid & (sdf >= -truncdist)
         tsdf_meas = jnp.clip(sdf / truncdist, -1.0, 1.0)
-        new_w = jnp.where(sdf < truncdist, assoc_val, 1.0)
+        # carve_dist = truncdist / carve_cap = inf reproduce the
+        # reference exactly; see ops.fusion.integrate_tsdf's docstring
+        # for the free-space carving semantics
+        carving = valid & (sdf >= carve_dist)
+        new_w = jnp.where(carving, 1.0, assoc_val)
+        w_eff = jnp.where(carving, jnp.minimum(wslice, carve_cap),
+                          wslice)
 
-        denom = wslice + new_w
+        denom = w_eff + new_w
         do_update = in_band & (denom > 0.0)
-        fused = (wslice * tslice + new_w * tsdf_meas) / jnp.where(
+        fused = (w_eff * tslice + new_w * tsdf_meas) / jnp.where(
             do_update, denom, 1.0)
         t_out = jnp.where(do_update, fused, tslice)
         w_out = jnp.where(do_update, jnp.minimum(denom, max_weight),
@@ -554,7 +570,8 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
                           rel_trans_oc, intr, voxel_size, truncdist,
                           max_weight, oversample: float = 1.25,
                           bf16: bool = False, grid=None, axis: int = 2,
-                          windowed: bool = False
+                          windowed: bool = False, carve_dist=None,
+                          carve_weight_cap=None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`.
 
@@ -598,7 +615,11 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
         rel_rot_oc, jnp.asarray(rel_trans_oc),
         jnp.asarray(intr), jnp.float32(voxel_size),
         jnp.float32(truncdist), jnp.float32(max_weight), SB=SB, LB=LB,
-        bf16=bf16, windowed=windowed)
+        bf16=bf16, windowed=windowed,
+        carve_dist=(None if carve_dist is None
+                    else jnp.float32(carve_dist)),
+        carve_weight_cap=(None if carve_weight_cap is None
+                          else jnp.float32(carve_weight_cap)))
     if axis != 2:
         t_new = jnp.transpose(t_new, AXIS_UNTRANSPOSE[axis])
         w_new = jnp.transpose(w_new, AXIS_UNTRANSPOSE[axis])

@@ -69,6 +69,8 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     cx, cy = glob_ref[0, 8], glob_ref[0, 9]
     trunc, max_w = glob_ref[0, 10], glob_ref[0, 11]
     rl, ra = glob_ref[0, 12], glob_ref[0, 13]
+    carve = glob_ref[0, 14]      # = trunc for exact reference semantics
+    carve_cap = glob_ref[0, 15]  # = inf for exact reference semantics
 
     Y = t_ref.shape[1]
     SB, LB = dhi_ref.shape
@@ -261,20 +263,22 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
 
     in_band = valid & (sdf >= -trunc)
     tsdf_meas = jnp.clip(sdf / trunc, -1.0, 1.0)
-    new_w = jnp.where(sdf < trunc, aval, 1.0)
+    carving = valid & (sdf >= carve)
+    new_w = jnp.where(carving, 1.0, aval)
 
     # volumes may be stored compressed (bf16) in HBM; all math is f32
     tsl = t_ref[0].astype(f32)
     wsl = w_ref[0].astype(f32)
-    denom = wsl + new_w
+    w_eff = jnp.where(carving, jnp.minimum(wsl, carve_cap), wsl)
+    denom = w_eff + new_w
     do_update = in_band & (denom > 0.0)
-    fused = (wsl * tsl + new_w * tsdf_meas) / jnp.where(do_update, denom,
-                                                        1.0)
+    fused = (w_eff * tsl + new_w * tsdf_meas) / jnp.where(do_update, denom,
+                                                          1.0)
     t_out = jnp.where(do_update, fused, tsl)
     w_out = jnp.where(do_update, jnp.minimum(denom, max_w), wsl)
 
-    carve = valid & (sdf < -trunc) & (wsl == 0.0)
-    t_out = jnp.where(carve, -1.0, t_out)
+    carve_unseen = valid & (sdf < -trunc) & (wsl == 0.0)
+    t_out = jnp.where(carve_unseen, -1.0, t_out)
 
     reset = (wsl == 0.0) & in_frame & in_front & (dval <= 0.0)
     reset |= (wsl == 0.0) & ~in_front
@@ -305,7 +309,8 @@ def _make_ladder(SB, LB, SA, LA):
                                              "windowed", "interpret"))
 def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
                              rel_trans, intr, voxel_size, truncdist,
-                             max_weight, SB: int, LB: int, XB: int,
+                             max_weight, carve_dist, carve_weight_cap,
+                             SB: int, LB: int, XB: int,
                              windowed: bool = False,
                              interpret: bool = False):
     Z, Y, X = tsdf.shape
@@ -348,7 +353,8 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
                    jnp.asarray(max_weight, f32),
                    jnp.asarray(LA / LB, f32),
                    jnp.asarray(SA / SB, f32),
-                   jnp.asarray(0.0, f32), jnp.asarray(0.0, f32)]),
+                   jnp.asarray(carve_dist, f32),
+                   jnp.asarray(carve_weight_cap, f32)]),
     ])[None, :]                                                  # (1, 16)
 
     NX = X // XB
@@ -399,7 +405,9 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
                                  oversample: float = 1.25, grid=None,
                                  axis: int = 2, x_block: int = 0,
                                  windowed: bool = False,
-                                 interpret: bool = False
+                                 interpret: bool = False,
+                                 carve_dist=None,
+                                 carve_weight_cap=None
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for
     :func:`emfusion_tpu.ops.fusion_pencil.integrate_tsdf_pencil` backed
@@ -433,8 +441,11 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
         tsdf, weights, depth, jnp.asarray(assoc_weights, jnp.float32),
         rel_rot_oc, jnp.asarray(rel_trans_oc), jnp.asarray(intr),
         jnp.float32(voxel_size), jnp.float32(truncdist),
-        jnp.float32(max_weight), SB=SB, LB=LB, XB=XB, windowed=windowed,
-        interpret=interpret)
+        jnp.float32(max_weight),
+        jnp.float32(truncdist if carve_dist is None else carve_dist),
+        jnp.float32(1e30 if carve_weight_cap is None
+                    else carve_weight_cap),
+        SB=SB, LB=LB, XB=XB, windowed=windowed, interpret=interpret)
     if axis != 2:
         t_new = jnp.transpose(t_new, AXIS_UNTRANSPOSE[axis])
         w_new = jnp.transpose(w_new, AXIS_UNTRANSPOSE[axis])

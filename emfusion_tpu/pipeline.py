@@ -396,7 +396,7 @@ class EMFusionPipeline:
             return state.replace(cam_pose=state.bg_pose @ rel), tw, hw, dbg
 
         def track_objs_subset(state: PipelineState, points, slots,
-                              serial: bool = True, obj_axes=None):
+                              serial: bool = True, subset_unroll: int = 0):
             """Object LM over the given pool slots only (the reference
             loops over live objects, EMFusion.cpp:692-720; running just
             the active subset avoids paying K x the gather cost).
@@ -410,10 +410,13 @@ class EMFusionPipeline:
             axis stays shardable over the "obj" mesh axis — a scan would
             serialize across devices.
 
-            ``obj_axes``: static per-slot scan axes for the band
-            capture (host-picked from the pose mirrors); None disables
-            the band for the objects. When given, the serial path
-            unrolls (each object needs its own static axis)."""
+            ``subset_unroll``: static slot count; > 0 unrolls the slots
+            with each object LM running the EXACT gather capture on its
+            top-4096 association-weighted point subset (the TPU
+            production path — the band capture applies to the camera
+            only; small object volumes track poorly from in-plane
+            resampled bands). 0 scans the slots with full-point LMs
+            (CPU/reference-exact path)."""
             o = state.objs
             cam_pose = state.cam_pose
             tcfg = (cfg if serial
@@ -457,9 +460,9 @@ class EMFusionPipeline:
 
             xs = (take(o.tsdf), take(o.weights), take(o.voxel_size),
                   take(o.pose), take(o.assoc), take(o.active))
-            if serial and obj_axes is not None:
+            if serial and subset_unroll:
                 outs = [track_obj(*(x[j] for x in xs), subset=True)
-                        for j in range(len(obj_axes))]
+                        for j in range(subset_unroll)]
                 new_sub, tw_sub, hw_sub = (jnp.stack(t) for t in
                                            zip(*outs))
             elif serial:
@@ -646,6 +649,14 @@ class EMFusionPipeline:
             slices, NO volume all-gather (HLO-audited in
             tests/test_distributed.py)."""
             rel_bg_oc = pose_inverse(state.cam_pose) @ state.bg_pose
+            # bg free-space carving (Params.bg_carve_dist /
+            # bg_carve_weight_cap); None = exact reference semantics
+            bg_carve = (min(p.bg_carve_dist, bg_trunc)
+                        if p.bg_carve_dist > 0 else None)
+            bg_cap = (p.bg_carve_weight_cap
+                      if (bg_carve is not None
+                          and p.bg_carve_weight_cap
+                          < tsdfp.maxTSDFWeight) else None)
             if self.mesh is not None and self.mesh.shape["z"] > 1:
                 from emfusion_tpu.distributed.sharded_ops import \
                     integrate_tsdf_pencil_zsharded
@@ -653,7 +664,8 @@ class EMFusionPipeline:
                     self.mesh, state.bg_tsdf, state.bg_weights, depth,
                     state.bg_assoc, rel_bg_oc[:3, :3],
                     rel_bg_oc[:3, 3], intr, bg_voxel, bg_trunc,
-                    tsdfp.maxTSDFWeight, bf16=p.matmul_bf16)
+                    tsdfp.maxTSDFWeight, bf16=p.matmul_bf16,
+                    carve_dist=bg_carve, carve_weight_cap=bg_cap)
             else:
                 kw = ({"axis": bg_axis}
                       if backend in ("pencil", "pallas") else {})
@@ -661,7 +673,8 @@ class EMFusionPipeline:
                     state.bg_tsdf, state.bg_weights, depth,
                     state.bg_assoc, rel_bg_oc[:3, :3],
                     rel_bg_oc[:3, 3], intr, bg_voxel, bg_trunc,
-                    tsdfp.maxTSDFWeight, **kw)
+                    tsdfp.maxTSDFWeight, carve_dist=bg_carve,
+                    carve_weight_cap=bg_cap, **kw)
             # preserve the storage dtype (XLA paths compute/return f32)
             bg_t = bg_t.astype(state.bg_tsdf.dtype)
             bg_w = bg_w.astype(state.bg_weights.dtype)
@@ -760,7 +773,7 @@ class EMFusionPipeline:
         self._track_camera = jax.jit(track_camera,
                                      static_argnames=("bg_axis",))
         self._track_objs_subset = jax.jit(
-            track_objs_subset, static_argnames=("serial", "obj_axes"))
+            track_objs_subset, static_argnames=("serial", "subset_unroll"))
         self._estep_subset = jax.jit(estep_subset,
                                      static_argnames=("bg_axis",))
         self._raycast_all = jax.jit(raycast_all)
@@ -994,10 +1007,10 @@ class EMFusionPipeline:
                     bg_axis=self._bg_scan_axis())   # EMFusion.cpp:687
             if len(slots) > 0:
                 with self.timer.phase("track_objects"):
-                    obj_axes = (self._obj_scan_axes(np.asarray(slots))
-                                if self._cap_band else None)
                     state, obj_tw, obj_hw = self._track_objs_subset(
-                        state, points, slots, obj_axes=obj_axes)
+                        state, points, slots,
+                        subset_unroll=(len(slots) if self._cap_band
+                                       else 0))
                 if self.save_output:
                     ids_now = np.asarray(state.objs.object_id)
                     slot_ids = [int(ids_now[int(s)]) for s in
@@ -1105,6 +1118,10 @@ class EMFusionPipeline:
             vis = s[off:off + self.K]
             cnt = s[off + self.K:off + 2 * self.K]
             asum = s[off + 2 * self.K:off + 3 * self.K]
+            # per-frame lifecycle stats mirror (debug/monitoring)
+            self.last_frame_stats = {"frame": frame, "vis_counts": vis,
+                                     "assoc_pixels": cnt,
+                                     "assoc_sums": asum}
             vis_h = self._h_active & (vis > p.visibilityThresh)
             for k in pend["spawned"]:
                 vis_h[k] = True    # spawned after that frame's raycast
@@ -1135,22 +1152,6 @@ class EMFusionPipeline:
             return 2
         rel_co = np.linalg.inv(self._h_bg_pose) @ self._h_cam_pose
         return pick_scan_axis(rel_co)
-
-    def _obj_scan_axes(self, slots_np) -> tuple:
-        """Static per-slot band-sweep scan axes from the host pose
-        mirrors (<= 1 frame old — the argmax axis choice is insensitive
-        to frame-scale motion, cf. _bg_scan_axis)."""
-        axes = []
-        for k in slots_np:
-            oid = int(self._h_ids[int(k)])
-            traj = self._obj_poses.get(oid)
-            if traj:
-                pose = traj[max(traj)]
-                rel = np.linalg.inv(pose) @ self._h_cam_pose
-                axes.append(pick_scan_axis(rel))
-            else:
-                axes.append(2)
-        return tuple(axes)
 
     # ------------------------------------------------------------------
     def _apply_store_poses(self, poses_flat: np.ndarray, frame=None):

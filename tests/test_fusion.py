@@ -163,3 +163,109 @@ def test_integrate_fg_mask(rng):
         jnp.asarray(mask), jnp.asarray(np.zeros((H, W), bool)), jnp.eye(3),
         jnp.asarray(trans), jnp.asarray(intr), voxel))
     assert (out3 == 0).all()
+
+
+def test_carve_dist_erodes_stale_surface():
+    """bg_carve_dist semantics: free-space evidence at sdf >= carve_dist
+    integrates at weight 1.0 regardless of the association weight, so a
+    stale surface contradicted by depth erodes even where the bg
+    association is ~0 (departing-object imprint); carve_dist=None keeps
+    exact reference behavior (stale shell frozen under tiny assoc)."""
+    from tests.test_fusion import make_plane_depth  # self-import safe
+    Z = Y = X = 32
+    H, W = 64, 64
+    intr = np.array([[60.0, 0, 31.5], [0, 60.0, 31.5], [0, 0, 1]],
+                    np.float32)
+    voxel = 0.05
+    trunc = 0.5          # wide band, like 128^3 @ 4 cm voxels
+    trans = np.array([0.0, 0.0, 1.0], np.float32)
+    args = (jnp.eye(3), jnp.asarray(trans), jnp.asarray(intr), voxel,
+            trunc)
+
+    # burn a plane at 1.0 m with weight 1 (the frame-0 assoc=1 imprint)
+    d0 = make_plane_depth(H, W, 1.0)
+    assoc1 = np.ones((H, W), np.float32)
+    t0, w0 = integrate_tsdf(jnp.zeros((Z, Y, X)), jnp.zeros((Z, Y, X)),
+                            jnp.asarray(d0), jnp.asarray(assoc1), *args,
+                            64.0)
+
+    # the surface moves back 10 cm; bg association collapses to ~0
+    d1 = make_plane_depth(H, W, 1.10)
+    assoc0 = np.full((H, W), 1e-3, np.float32)
+    c = (X - 1) // 2
+
+    shell = np.asarray(t0)[:, c, c]
+    zpos_all = (np.arange(Z) - (Z - 1) / 2) * voxel + 1.0
+    # the stale shell: weighted voxels near the OLD crossing, in front
+    # of the new surface
+    # (exclude z <= 0.6 where the reference's own beyond-trunc weight-1
+    # rule already applies: sdf_new = 1.1 - z >= trunc there)
+    stale_band = (np.abs(shell) < 0.9) & (zpos_all < 1.10 - 0.02) \
+        & (zpos_all > 0.62) & (np.asarray(w0)[:, c, c] > 0.5)
+    assert stale_band.sum() >= 5
+
+    # reference semantics: shell frozen (update weight ~1e-3)
+    t_ref, _ = integrate_tsdf(t0, w0, jnp.asarray(d1),
+                              jnp.asarray(assoc0), *args, 64.0)
+    ref_col = np.asarray(t_ref)[:, c, c]
+    np.testing.assert_allclose(ref_col[stale_band], shell[stale_band],
+                               atol=5e-3)
+
+    # carve_dist=0.05: voxels with sdf >= 5 cm (the old surface now has
+    # sdf ~ +10 cm) get weight-1 free-space updates and erode fast
+    t_c, _ = integrate_tsdf(t0, w0, jnp.asarray(d1),
+                            jnp.asarray(assoc0), *args, 64.0,
+                            carve_dist=0.05)
+    t_c2, _ = integrate_tsdf(t_c, _, jnp.asarray(d1),
+                             jnp.asarray(assoc0), *args, 64.0,
+                             carve_dist=0.05)
+    carved = np.asarray(t_c2)[:, c, c]
+    # the old crossing must be gone wherever sdf >= carve_dist: any
+    # surviving negative sits within carve_dist (5 cm) of the TRUE
+    # surface — below the compositor's bg-override threshold, so it can
+    # no longer blank an object's segmentation
+    carve_zone = stale_band & (zpos_all < 1.10 - 0.05 - voxel / 2)
+    assert carve_zone.sum() >= 5
+    assert (carved[carve_zone] > 0.0).all(), carved[carve_zone]
+    # weighted voxels behind the new surface untouched at weight 1
+    behind = (zpos_all > 1.10 + 0.06) & (np.asarray(w0)[:, c, c] > 0.5)
+    np.testing.assert_allclose(carved[behind], shell[behind], atol=5e-3)
+
+
+def test_carve_dist_parity_across_backends():
+    """carve_dist must behave identically in the gather and pencil
+    formulations (the Pallas kernel shares the pencil's glob row and is
+    parity-tested on TPU)."""
+    from emfusion_tpu.ops.fusion_pencil import integrate_tsdf_pencil
+    Z = Y = X = 32
+    H, W = 64, 64
+    intr = np.array([[60.0, 0, 31.5], [0, 60.0, 31.5], [0, 0, 1]],
+                    np.float32)
+    voxel = 0.05
+    trunc = 0.5
+    trans = np.array([0.0, 0.0, 1.0], np.float32)
+    d0 = make_plane_depth(H, W, 1.0)
+    t0, w0 = integrate_tsdf(jnp.zeros((Z, Y, X)), jnp.zeros((Z, Y, X)),
+                            jnp.asarray(d0),
+                            jnp.ones((H, W), jnp.float32),
+                            jnp.eye(3), jnp.asarray(trans),
+                            jnp.asarray(intr), voxel, trunc, 64.0)
+    d1 = make_plane_depth(H, W, 1.10)
+    assoc0 = np.full((H, W), 1e-3, np.float32)
+    tg, wg = integrate_tsdf(t0, w0, jnp.asarray(d1), jnp.asarray(assoc0),
+                            jnp.eye(3), jnp.asarray(trans),
+                            jnp.asarray(intr), voxel, trunc, 64.0,
+                            carve_dist=0.05)
+    tp, wp = integrate_tsdf_pencil(t0, w0, jnp.asarray(d1),
+                                   jnp.asarray(assoc0), jnp.eye(3),
+                                   jnp.asarray(trans), jnp.asarray(intr),
+                                   voxel, trunc, 64.0, carve_dist=0.05)
+    # pencil warps depth/assoc through nearest-pixel B-grid sampling:
+    # small boundary-pixel deviations are expected (same class the main
+    # backend-parity tests carry); the carve semantics must agree
+    np.testing.assert_allclose(np.asarray(tg), np.asarray(tp), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(wg), np.asarray(wp), atol=2e-2)
+    # and the stale shell must actually have been carved on BOTH paths
+    c = 15
+    assert (np.asarray(tg)[10:14, c, c] > 0.1).all()
+    assert (np.asarray(tp)[10:14, c, c] > 0.1).all()
