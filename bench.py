@@ -29,13 +29,26 @@ measured-BW as the honest ceiling"), setting the round-3 target as
 vs_baseline >= 1.0 *on the measured-BW definition*; the nominal-BW
 ratio remains in the JSON (``vs_baseline_nominal_bw``) so both
 definitions stay auditable.
+
+FAULT TOLERANCE (round-4 requirement, VERDICT r3 weak #1): the relay
+to the tunneled TPU has documented degradation windows
+(FailedPrecondition bursts, multi-minute hangs on the first device op,
+BW collapse). Every measured section runs under ``run_section``:
+bounded retries on transient errors, a wall-clock watchdog that emits
+the JSON line and exits if a device op hangs past the section deadline,
+and a BW-calibration fallback chain (fresh measurement -> sanity check
+-> cached last-good value -> nominal fraction). One sick section can
+no longer erase the round's whole perf record. The harness logic is
+unit-tested on CPU (tests/test_bench_harness.py).
+
 Supporting numbers (GN JtJ reduce latency, E-step latency, e2e frame
-time) go to stderr and extra JSON fields.
+time, 512^3 mesh-export time) go to stderr and extra JSON fields.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -51,6 +64,8 @@ HBM_GBPS = {
     "v4": 1228.0, "v5p": 2765.0, "v6e": 1640.0,
 }
 
+BW_CACHE = os.path.expanduser("~/.cache/emf_bench_bw.json")
+
 
 def detect_bw(device) -> float:
     kind = getattr(device, "device_kind", "").lower()
@@ -60,7 +75,140 @@ def detect_bw(device) -> float:
     return float(os.environ.get("EMF_HBM_GBPS", 819.0))
 
 
+# ----------------------------------------------------------------------
+# fault-tolerant harness (unit-tested in tests/test_bench_harness.py)
+# ----------------------------------------------------------------------
+
+class Watchdog:
+    """Emits ``out`` as the JSON line and hard-exits if a section's
+    wall-clock deadline passes — a hung device op cannot be interrupted
+    from Python (the relay hang is inside a C call), so the only way to
+    still produce a parseable BENCH line is a watchdog thread."""
+
+    def __init__(self, out: dict, emit=None, exit_fn=None):
+        self.out = out
+        self._deadline = None
+        self._label = None
+        self._lock = threading.Lock()
+        self._emit = emit or (lambda o: print(json.dumps(o), flush=True))
+        self._exit = exit_fn or (lambda: os._exit(0))
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def arm(self, label: str, seconds: float):
+        with self._lock:
+            self._label = label
+            self._deadline = time.monotonic() + seconds
+
+    def disarm(self):
+        with self._lock:
+            self._deadline = None
+
+    def stop(self):
+        self._stop = True
+
+    def _run(self):
+        while not self._stop:
+            time.sleep(0.5)
+            with self._lock:
+                d, label = self._deadline, self._label
+            if d is not None and time.monotonic() > d:
+                self.out.setdefault("errors", []).append(
+                    f"{label}: wall-clock deadline exceeded (device "
+                    f"hang); emitting partial results")
+                log(f"WATCHDOG: section '{label}' hung; emitting JSON")
+                self._emit(self.out)
+                self._exit()
+                return
+
+
+def run_section(out: dict, name: str, fn, watchdog=None,
+                retries: int = 2, deadline_s: float = 600.0,
+                sleep_s: float = 5.0):
+    """Run one measured section with retries + watchdog deadline.
+
+    Returns fn's value, or None after exhausting retries (the error
+    chain is appended to out["errors"])."""
+    for attempt in range(retries + 1):
+        if watchdog is not None:
+            watchdog.arm(name, deadline_s)
+        try:
+            val = fn()
+            if watchdog is not None:
+                watchdog.disarm()
+            return val
+        except Exception as e:  # FailedPrecondition etc. are runtime errs
+            if watchdog is not None:
+                watchdog.disarm()
+            msg = f"{name} attempt {attempt + 1}: {type(e).__name__}: " \
+                  f"{str(e)[:200]}"
+            log(msg)
+            out.setdefault("errors", []).append(msg)
+            if attempt < retries:
+                time.sleep(sleep_s)
+    return None
+
+
+def resolve_bw(measure_fn, nominal: float, out: dict,
+               cache_path: str = BW_CACHE,
+               min_fraction: float = 0.15):
+    """BW calibration with fallback chain: measure -> sanity check
+    against ``min_fraction * nominal`` -> cached last-good -> assumed
+    45% of nominal (the relay's typical healthy fraction)."""
+    bw = None
+    try:
+        bw = float(measure_fn())
+    except Exception as e:
+        out.setdefault("errors", []).append(
+            f"bw calibration: {type(e).__name__}: {str(e)[:200]}")
+    if bw is not None and bw >= min_fraction * nominal:
+        out["bw_source"] = "measured"
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "w") as f:
+                json.dump({"bw_gbps": bw, "time": time.time()}, f)
+        except OSError:
+            pass
+        return bw
+    if bw is not None:
+        out.setdefault("errors", []).append(
+            f"bw calibration insane: {bw:.0f} GB/s < "
+            f"{min_fraction:.0%} of nominal {nominal:.0f} (degraded "
+            f"relay window, NOTES_R3) — falling back")
+        out["bw_measured_rejected_gbps"] = round(bw, 1)
+    try:
+        with open(cache_path) as f:
+            cached = json.load(f)
+        out["bw_source"] = "cached"
+        return float(cached["bw_gbps"])
+    except (OSError, ValueError, KeyError):
+        pass
+    out["bw_source"] = "nominal_fraction"
+    return 0.45 * nominal
+
+
+# ----------------------------------------------------------------------
+
 def main():
+    out = {
+        "metric": "fused_frames_per_s_per_chip",
+        "value": None,
+        "unit": "fps",
+        "vs_baseline": None,
+    }
+    wd = Watchdog(out)
+    try:
+        _main(out, wd)
+    except BaseException as e:
+        out.setdefault("errors", []).append(
+            f"fatal: {type(e).__name__}: {str(e)[:300]}")
+    finally:
+        wd.stop()
+        print(json.dumps(out), flush=True)
+
+
+def _main(out, wd):
     import jax
     import jax.numpy as jnp
     # production parity: SE(3)/tracking matmuls run at HIGHEST precision
@@ -90,12 +238,12 @@ def main():
 
     def timeit(fn, *args, iters=10, warmup=3):
         for _ in range(warmup):
-            out = fn(*args)
-        sync(out[0] if isinstance(out, tuple) else out)
+            fnout = fn(*args)
+        sync(fnout[0] if isinstance(fnout, tuple) else fnout)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
-        sync(out[0] if isinstance(out, tuple) else out)
+            fnout = fn(*args)
+        sync(fnout[0] if isinstance(fnout, tuple) else fnout)
         return (time.perf_counter() - t0) / iters
 
     R = int(os.environ.get("EMF_BENCH_RES", 512 if on_tpu else 128))
@@ -120,23 +268,39 @@ def main():
          [-np.sin(th), 0, np.cos(th)]], np.float32))
     rel_trans = jnp.asarray(np.array([0, 0, 2.56], np.float32))
 
-    # ---- measured streaming-BW calibration (empirical roofline) -------
-    tsdf_f32 = jnp.zeros((R, R, R), jnp.float32)
-    w_f32 = jnp.zeros((R, R, R), jnp.float32)
+    # --- first device op: a known relay hang point (NOTES_R3) ---------
+    def first_op():
+        return sync(jnp.zeros((8,), jnp.float32) + 1.0)
 
-    @jax.jit
-    def stream4(t, w):
-        return t * 0.5 + 0.1, jnp.minimum(w + 1.0, 64.0)
+    run_section(out, "first_device_op", first_op, wd, retries=2,
+                deadline_s=420)
 
-    dt_s = timeit(lambda t, w: stream4(t, w)[0], tsdf_f32, w_f32,
-                  iters=10)
-    bw_measured = 4 * R ** 3 * 4 / dt_s / 1e9
-    log(f"measured 4-stream f32 BW: {bw_measured:.0f} GB/s "
-        f"({100 * bw_measured / bw_nominal:.0f}% of nominal; "
-        f"XLA elementwise over the same arrays)")
-    del tsdf_f32, w_f32
+    # ---- measured streaming-BW calibration (empirical roofline) ------
+    def measure_bw():
+        tsdf_f32 = jnp.zeros((R, R, R), jnp.float32)
+        w_f32 = jnp.zeros((R, R, R), jnp.float32)
 
-    # ---- production fused step -----------------------------------------
+        @jax.jit
+        def stream4(t, w):
+            return t * 0.5 + 0.1, jnp.minimum(w + 1.0, 64.0)
+
+        dt_s = timeit(lambda t, w: stream4(t, w)[0], tsdf_f32, w_f32,
+                      iters=10)
+        return 4 * R ** 3 * 4 / dt_s / 1e9
+
+    def bw_section():
+        return resolve_bw(measure_bw, bw_nominal, out)
+
+    bw_measured = run_section(out, "bw_calibration", bw_section, wd,
+                              retries=2, deadline_s=420)
+    if bw_measured is None:
+        bw_measured = resolve_bw(lambda: (_ for _ in ()).throw(
+            RuntimeError("skipped")), bw_nominal, out)
+    log(f"streaming BW: {bw_measured:.0f} GB/s "
+        f"({100 * bw_measured / bw_nominal:.0f}% of nominal; source "
+        f"{out.get('bw_source')})")
+
+    # ---- production fused step ---------------------------------------
     if on_tpu:
         from emfusion_tpu.ops.pallas.fusion_pencil_pallas import (
             integrate_tsdf_pencil_pallas)
@@ -150,79 +314,124 @@ def main():
                       rel_trans, intr, voxel, trunc, 64.0)
         return t2, w2
 
-    t0 = time.perf_counter()
-    out = fuse_step(tsdf, weights)
-    sync(out[0])
-    log(f"fuse compile+first run: {time.perf_counter() - t0:.1f}s")
+    def fused_section():
+        t0 = time.perf_counter()
+        o = fuse_step(tsdf, weights)
+        sync(o[0])
+        log(f"fuse compile+first run: {time.perf_counter() - t0:.1f}s")
+        return timeit(lambda t, w: fuse_step(t, w)[:2], tsdf, weights,
+                      iters=10)
 
-    dt = timeit(lambda t, w: fuse_step(t, w)[:2], tsdf, weights, iters=10)
-    fps = 1.0 / dt
-    # REFERENCE kernel traffic: read+write f32 tsdf & weights
+    dt = run_section(out, "fused_step", fused_section, wd, retries=2,
+                     deadline_s=600)
+
     ref_bytes = (R ** 3) * 4 * 4
     roofline_meas = bw_measured * 1e9 / ref_bytes
     roofline_nom = bw_nominal * 1e9 / ref_bytes
-    log(f"fused step {R}^3 ({np.dtype(vdt).name} storage): "
-        f"{dt * 1e3:.2f} ms -> {fps:.2f} fps")
-    log(f"  vs measured-BW f32-kernel roofline {roofline_meas:.1f} fps: "
-        f"{100 * fps / roofline_meas:.1f}%")
-    log(f"  vs nominal-BW f32-kernel roofline {roofline_nom:.1f} fps: "
-        f"{100 * fps / roofline_nom:.1f}%")
-
-    # --- GN JtJ reduce latency (BASELINE latency probe) ---
-    N = H * W
-    J = jnp.asarray(np.random.RandomState(0).randn(6, N).astype(np.float32))
-    w = jnp.asarray(np.random.RandomState(1).rand(N).astype(np.float32))
-    psi = jnp.asarray(np.random.RandomState(2).randn(N).astype(np.float32))
-
-    @jax.jit
-    def jtj(J, w, psi):
-        Jw = J * w[None, :]
-        return Jw @ J.T, Jw @ psi
-
-    dt_jtj = timeit(jtj, J, w, psi, iters=50)
-    log(f"GN JtJ reduce (N={N}): {dt_jtj * 1e6:.1f} us")
-
-    # --- E-step association latency (sample+laplace+normalize, 1 model) ---
-    from emfusion_tpu.ops.association import association_weights
-    pts = jnp.asarray(
-        np.stack([(xs - 319.5) / 525.0 * depth,
-                  (ys - 239.5) / 525.0 * depth, depth], 0)
-        .astype(np.float32))
-
-    @jax.jit
-    def estep(tsdf, pts):
-        w_, _ = association_weights(tsdf, pts, rel_rot, rel_trans, voxel,
-                                    trunc, 0.02, 0.8, 1.0)
-        return w_
-
-    dt_e = timeit(estep, tsdf, pts, iters=10)
-    log(f"E-step (1 model, {N} px): {dt_e * 1e3:.2f} ms")
-
-    # --- end-to-end SLAM frame (full pipeline, production defaults) ----
-    e2e_ms = None
-    phase_ms = {}
-    if os.environ.get("EMF_BENCH_E2E", "1") != "0":
-        e2e_ms, phase_ms = bench_e2e(R if on_tpu else 128, log)
-
-    vs_baseline = fps / (0.8 * roofline_meas)
-    out = {
-        "metric": "fused_frames_per_s_per_chip",
-        "value": round(fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(vs_baseline, 3),
+    out.update({
         "bw_nominal_gbps": round(bw_nominal, 1),
         "bw_measured_gbps": round(bw_measured, 1),
         "roofline_fps_measured_bw": round(roofline_meas, 1),
         "roofline_fps_nominal_bw": round(roofline_nom, 1),
-        "vs_baseline_nominal_bw": round(fps / (0.8 * roofline_nom), 3),
         "volume_dtype": np.dtype(vdt).name,
-    }
-    if e2e_ms is not None:
-        out["e2e_ms_per_frame"] = round(e2e_ms, 2)
-        out["e2e_fps"] = round(1e3 / e2e_ms, 2)
-        out["e2e_phases_ms"] = {k: round(v, 2)
-                                for k, v in phase_ms.items()}
-    print(json.dumps(out), flush=True)
+    })
+    if dt is not None:
+        fps = 1.0 / dt
+        log(f"fused step {R}^3 ({np.dtype(vdt).name} storage): "
+            f"{dt * 1e3:.2f} ms -> {fps:.2f} fps")
+        log(f"  vs measured-BW f32-kernel roofline {roofline_meas:.1f} "
+            f"fps: {100 * fps / roofline_meas:.1f}%")
+        log(f"  vs nominal-BW f32-kernel roofline {roofline_nom:.1f} "
+            f"fps: {100 * fps / roofline_nom:.1f}%")
+        out["value"] = round(fps, 2)
+        out["vs_baseline"] = round(fps / (0.8 * roofline_meas), 3)
+        out["vs_baseline_nominal_bw"] = round(
+            fps / (0.8 * roofline_nom), 3)
+
+    # --- GN JtJ reduce latency (BASELINE latency probe) ---
+    def jtj_section():
+        N = H * W
+        J = jnp.asarray(
+            np.random.RandomState(0).randn(6, N).astype(np.float32))
+        w = jnp.asarray(
+            np.random.RandomState(1).rand(N).astype(np.float32))
+        psi = jnp.asarray(
+            np.random.RandomState(2).randn(N).astype(np.float32))
+
+        @jax.jit
+        def jtj(J, w, psi):
+            Jw = J * w[None, :]
+            return Jw @ J.T, Jw @ psi
+
+        return timeit(jtj, J, w, psi, iters=50)
+
+    dt_jtj = run_section(out, "gn_jtj", jtj_section, wd, retries=1,
+                         deadline_s=300)
+    if dt_jtj is not None:
+        log(f"GN JtJ reduce (N={H * W}): {dt_jtj * 1e6:.1f} us")
+        out["gn_jtj_us"] = round(dt_jtj * 1e6, 1)
+
+    # --- E-step association latency (1 model, full res) ---
+    def estep_section():
+        from emfusion_tpu.ops.association import association_weights
+        pts = jnp.asarray(
+            np.stack([(xs - 319.5) / 525.0 * depth,
+                      (ys - 239.5) / 525.0 * depth, depth], 0)
+            .astype(np.float32))
+
+        @jax.jit
+        def estep(tsdf, pts):
+            w_, _ = association_weights(tsdf, pts, rel_rot, rel_trans,
+                                        voxel, trunc, 0.02, 0.8, 1.0)
+            return w_
+
+        return timeit(estep, tsdf, pts, iters=10)
+
+    dt_e = run_section(out, "estep", estep_section, wd, retries=1,
+                       deadline_s=420)
+    if dt_e is not None:
+        log(f"E-step (1 model, {H * W} px): {dt_e * 1e3:.2f} ms")
+        out["estep_full_res_ms"] = round(dt_e * 1e3, 2)
+
+    # --- end-to-end SLAM frame (full pipeline, production defaults) ---
+    if os.environ.get("EMF_BENCH_E2E", "1") != "0":
+        e2e = run_section(
+            out, "e2e",
+            lambda: bench_e2e(R if on_tpu else 128, log), wd,
+            retries=1, deadline_s=1200)
+        if e2e is not None:
+            e2e_ms, phase_ms, n_objects, pipe = e2e
+            out["e2e_ms_per_frame"] = round(e2e_ms, 2)
+            out["e2e_fps"] = round(1e3 / e2e_ms, 2)
+            out["e2e_objects"] = n_objects
+            out["e2e_object_survived"] = bool(n_objects >= 1)
+            out["e2e_phases_ms"] = {k: round(v, 2)
+                                    for k, v in phase_ms.items()}
+            if n_objects < 1:
+                out.setdefault("errors", []).append(
+                    "e2e: bench scene object was DELETED mid-run "
+                    "(accuracy regression; see "
+                    "tests/test_object_survival.py)")
+
+            # --- full-res background mesh export (512^3 single-chip;
+            # the r3 OOM capability gap) -------------------------------
+            def mesh_section():
+                from emfusion_tpu.ops.marching_cubes import \
+                    extract_mesh_sparse
+                t0 = time.perf_counter()
+                v, _, t = extract_mesh_sparse(
+                    pipe.state.bg_tsdf.astype(jnp.float32),
+                    pipe.state.bg_weights > 0, voxel)
+                return time.perf_counter() - t0, len(v), len(t)
+
+            mesh = run_section(out, "mesh_export", mesh_section, wd,
+                               retries=1, deadline_s=1200)
+            if mesh is not None:
+                mesh_s, nv, nt = mesh
+                log(f"bg mesh export {R}^3: {mesh_s:.1f}s, {nv} verts, "
+                    f"{nt} tris")
+                out["mesh_export_s"] = round(mesh_s, 1)
+                out["mesh_export_verts"] = nv
 
 
 def bench_e2e(res: int, log):
@@ -233,6 +442,8 @@ def bench_e2e(res: int, log):
 
     Reference analogue: the live FPS overlay (``apps/EM-Fusion.cpp:169-176``)
     over ``EMFusion::processFrame`` (``src/core/EMFusion.cpp:70-129``).
+
+    Returns (ms_per_frame, phase_ms, n_objects_alive, pipe).
     """
     import time as _time
 
@@ -295,12 +506,13 @@ def bench_e2e(res: int, log):
         pipe.process_frame(None, frames[f])
     float(np.asarray(pipe.state.bg_tsdf[0, 0, 0]))
     dt = (_time.perf_counter() - t0) / (n_frames - n_warm)
+    n_objects = len(pipe.active_object_ids)
     log(f"e2e steady-state: {dt * 1e3:.1f} ms/frame "
-        f"({1.0 / dt:.2f} fps), {len(pipe.active_object_ids)} object(s)")
+        f"({1.0 / dt:.2f} fps), {n_objects} object(s)")
     log(pipe.timer.summary())
     phase_ms = {k: 1e3 * v / max(pipe.timer.counts[k], 1)
                 for k, v in pipe.timer.totals.items()}
-    return dt * 1e3, phase_ms
+    return dt * 1e3, phase_ms, n_objects, pipe
 
 
 if __name__ == "__main__":
