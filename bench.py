@@ -371,13 +371,33 @@ def _main(out, wd):
         log(f"GN JtJ reduce (N={H * W}): {dt_jtj * 1e6:.1f} us")
         out["gn_jtj_us"] = round(dt_jtj * 1e6, 1)
 
-    # --- E-step association latency (1 model, full res) ---
+    # --- E-step association latency (1 model, full res) --------------
+    # measures the PRODUCTION background sampler at full resolution:
+    # the Pallas plane-sweep on TPU (ops/pallas/sweep_pallas.py,
+    # parity-tested in tests/test_sweep_pallas.py), the exact XLA
+    # gather on CPU. The gather path is also reported on TPU for the
+    # cross-round comparison (it was the only number in r1-r3).
     def estep_section():
-        from emfusion_tpu.ops.association import association_weights
         pts = jnp.asarray(
             np.stack([(xs - 319.5) / 525.0 * depth,
                       (ys - 239.5) / 525.0 * depth, depth], 0)
             .astype(np.float32))
+        res = {}
+        if on_tpu:
+            from emfusion_tpu.ops.pallas.sweep_pallas import (
+                sweep_sample_psi_pallas)
+
+            @jax.jit
+            def estep_sweep(tsdf, pts):
+                psi = sweep_sample_psi_pallas(tsdf, pts, rel_rot,
+                                              rel_trans, intr, voxel)
+                lap = jnp.exp(-trunc * jnp.abs(psi) / 0.02) / 0.04
+                return jnp.where(psi == 0.0, 0.0,
+                                 0.8 * lap + 0.2 * 1.0)
+
+            res["sweep"] = timeit(estep_sweep, tsdf, pts, iters=10)
+
+        from emfusion_tpu.ops.association import association_weights
 
         @jax.jit
         def estep(tsdf, pts):
@@ -385,13 +405,20 @@ def _main(out, wd):
                                         voxel, trunc, 0.02, 0.8, 1.0)
             return w_
 
-        return timeit(estep, tsdf, pts, iters=10)
+        res["gather"] = timeit(estep, tsdf, pts, iters=10)
+        return res
 
     dt_e = run_section(out, "estep", estep_section, wd, retries=1,
-                       deadline_s=420)
+                       deadline_s=600)
     if dt_e is not None:
-        log(f"E-step (1 model, {H * W} px): {dt_e * 1e3:.2f} ms")
-        out["estep_full_res_ms"] = round(dt_e * 1e3, 2)
+        prod = dt_e.get("sweep", dt_e["gather"])
+        log(f"E-step (1 model, {H * W} px, production "
+            f"{'sweep' if 'sweep' in dt_e else 'gather'}): "
+            f"{prod * 1e3:.2f} ms "
+            f"(exact gather: {dt_e['gather'] * 1e3:.2f} ms)")
+        out["estep_full_res_ms"] = round(prod * 1e3, 2)
+        out["estep_full_res_gather_ms"] = round(
+            dt_e["gather"] * 1e3, 2)
 
     # --- end-to-end SLAM frame (full pipeline, production defaults) ---
     if os.environ.get("EMF_BENCH_E2E", "1") != "0":
@@ -418,10 +445,13 @@ def _main(out, wd):
             def mesh_section():
                 from emfusion_tpu.ops.marching_cubes import \
                     extract_mesh_sparse
+                bg = pipe.state.bg_tsdf.astype(jnp.float32)
+                m = pipe.state.bg_weights > 0
+                # cold run = band-program compile; report the warm one
+                # (per-frame export cost during a run)
+                extract_mesh_sparse(bg, m, voxel)
                 t0 = time.perf_counter()
-                v, _, t = extract_mesh_sparse(
-                    pipe.state.bg_tsdf.astype(jnp.float32),
-                    pipe.state.bg_weights > 0, voxel)
+                v, _, t = extract_mesh_sparse(bg, m, voxel)
                 return time.perf_counter() - t0, len(v), len(t)
 
             mesh = run_section(out, "mesh_export", mesh_section, wd,

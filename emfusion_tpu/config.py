@@ -174,6 +174,13 @@ class Params:
     # value-unaffected (measurements there already agree; the voxel's
     # weight pins at ~1). Set >= maxTSDFWeight to disable the clamp.
     bg_carve_weight_cap: float = 0.0
+    # Camera LM initialization: "static" starts at the previous pose
+    # (reference, EMFusion.cpp:675); "constvel" starts AND captures at
+    # a constant-velocity prediction from the last two poses, keeping
+    # frame-scale motion inside the capture windows (each avoided
+    # re-capture saves a banded volume sweep). "auto": constvel on
+    # TPU, static on CPU.
+    motion_model: str = "auto"
 
     @property
     def intr(self) -> np.ndarray:
@@ -240,7 +247,7 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
     elif key == "fusion_backend":
         params.fusion_backend = v.strip()
     elif key in ("raycast_backend", "bilateral_backend", "volume_dtype",
-                 "estep_backend", "capture_backend"):
+                 "estep_backend", "capture_backend", "motion_model"):
         setattr(params, key, v.strip())
     elif key in ("ignore_person", "matmul_bf16"):
         setattr(params, key,

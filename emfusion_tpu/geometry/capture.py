@@ -109,6 +109,70 @@ def capture_neighborhoods(vols: jnp.ndarray, points_cam: jnp.ndarray,
     return jnp.stack(caches), anchor
 
 
+def capture_neighborhoods_batched(vols: jnp.ndarray,
+                                  points_cam: jnp.ndarray,
+                                  rel_rot: jnp.ndarray,
+                                  rel_trans: jnp.ndarray,
+                                  voxel_size: jnp.ndarray):
+    """Batched-over-objects capture: ONE flat chunked-row gather over
+    the stacked object volumes.
+
+    ``vmap(capture_neighborhoods)`` would lower each object's takes as
+    a separate batched gather; offsetting the flat row indices by the
+    object's table base keeps the whole pool a single take (the gather
+    cost is per descriptor — one launch for K x C x 36 x M rows).
+
+    Args:
+      vols: (K, C, Z, Y, X) stacked per-object channel volumes.
+      points_cam: (K, 3, M); rel_rot (K, 3, 3); rel_trans (K, 3);
+      voxel_size (K,).
+
+    Returns (cache (K, C, WIN, WIN, WIN, M) f32, anchor (K, 3, M)).
+    Requires X % 8 == 0 and X >= 16 (object grids are 64^3).
+    """
+    K, C, Z, Y, X = vols.shape
+    M = points_cam.shape[2]
+    assert X % 8 == 0 and X >= 16, "batched capture needs lane-aligned X"
+
+    def grid_coords(p, R, t, vs):
+        return _transform_to_grid(p, R, t, vs, (Z, Y, X))
+
+    vx, vy, vz, _ = jax.vmap(grid_coords)(points_cam, rel_rot,
+                                          rel_trans, voxel_size)
+    ax = jnp.floor(vx).astype(jnp.int32) - _ANCHOR_OFF      # (K, M)
+    ay = jnp.floor(vy).astype(jnp.int32) - _ANCHOR_OFF
+    az = jnp.floor(vz).astype(jnp.int32) - _ANCHOR_OFF
+    anchor = jnp.stack([ax, ay, az], axis=1)                # (K, 3, M)
+
+    d = jnp.arange(WIN, dtype=jnp.int32)
+    zc = jnp.clip(az[:, None] + d[None, :, None], 0, Z - 1)  # (K, W, M)
+    yc = jnp.clip(ay[:, None] + d[None, :, None], 0, Y - 1)
+    xc = jnp.clip(ax[:, None] + d[None, :, None], 0, X - 1)
+
+    X8 = X // 8
+    base = jnp.clip(ax, 0, X - 8)
+    c0 = jnp.clip(base // 8, 0, X8 - 2)                      # (K, M)
+    # flat row index into the stacked (K*C*Z*Y*X8, 8) table
+    kofs = (jnp.arange(K, dtype=jnp.int32) * C)[:, None, None, None]
+    row = (zc[:, :, None, :] * Y + yc[:, None, :, :]) * X8   # (K,W,W,M)
+    xoff = xc - 8 * c0[:, None, :]                           # (K, W, M)
+
+    table = vols.reshape(K * C * Z * Y * X8, 8)
+    caches = []
+    for c in range(C):
+        r0 = (kofs + c) * (Z * Y * X8) + row + c0[:, None, None, :]
+        ridx = jnp.stack([r0, r0 + 1], axis=-1).reshape(-1)
+        g = jnp.take(table, ridx, axis=0)
+        g = g.astype(jnp.float32).reshape(K, WIN, WIN, M, 16)
+        out = jnp.zeros((K, WIN, WIN, WIN, M), jnp.float32)
+        for k16 in range(16):
+            sel = (xoff == k16)                              # (K, W, M)
+            out = out + jnp.where(sel[:, None, None, :, :],
+                                  g[:, :, :, None, :, k16], 0.0)
+        caches.append(out)
+    return jnp.stack(caches, axis=1), anchor
+
+
 def _tents(vl: jnp.ndarray) -> jnp.ndarray:
     """(WIN, N) hat-function weights: tent(vl - d)."""
     d = jnp.arange(WIN, dtype=jnp.float32)[:, None]
@@ -124,6 +188,21 @@ def _local_coords(anchor, points_cam, rel_rot, rel_trans, voxel_size,
     ly = vy - anchor[1].astype(jnp.float32)
     lz = vz - anchor[2].astype(jnp.float32)
     return (vx, vy, vz, pz), (lx, ly, lz)
+
+
+def out_of_window_count(anchor, points_cam, rel_rot, rel_trans,
+                        voxel_size, shape):
+    """Number of RELEVANT points whose local coords fall outside the
+    cached windows at this pose (these contribute nothing until the
+    next re-capture; surfaced in track stats so budget exhaustion under
+    fast motion is observable — EMF_TRACK_STATS)."""
+    Z, Y, X = shape
+    (vx, vy, vz, pz), (lx, ly, lz) = _local_coords(
+        anchor, points_cam, rel_rot, rel_trans, voxel_size, shape)
+    rel = (pz > 0) & (vx >= -1) & (vy >= -1) & (vz >= -1) \
+        & (vx < X) & (vy < Y) & (vz < Z)
+    bad = ~_window_ok(lx, ly, lz)
+    return jnp.sum((rel & bad).astype(jnp.int32))
 
 
 def drift_ok(anchor, points_cam, rel_rot, rel_trans, voxel_size, shape,

@@ -163,6 +163,17 @@ class EMFusionPipeline:
         self._vol_dtype = (jnp.bfloat16 if vd == "bfloat16"
                            else jnp.float32)
 
+        # camera motion model: "constvel" starts (and captures) the LM
+        # at a constant-velocity pose prediction; "static" = reference
+        # init at the previous pose. auto: constvel on TPU (each
+        # avoided drift re-capture saves a banded volume sweep),
+        # static on CPU (exact reference behavior for the gates).
+        mm = params.motion_model
+        if mm == "auto":
+            mm = ("constvel" if jax.default_backend() not in ("cpu",)
+                  else "static")
+        self._mm = mm
+
         self.state = self._init_state()
         if self.mesh is not None:
             from emfusion_tpu.distributed.mesh import shard_state
@@ -377,14 +388,26 @@ class EMFusionPipeline:
             def _band_args(axis):
                 return None
 
-        def track_camera(state: PipelineState, points, bg_axis=2):
+        def track_camera(state: PipelineState, points, delta=None,
+                         bg_axis=2):
             """Camera-vs-background LM (performTracking, first half).
             Returns (state, track-weight image, huber-weight image), both
             (H/stride, W/stride). ``bg_axis``: static scan axis for the
-            band capture sweep."""
+            band capture sweep.
+
+            ``delta``: optional (4, 4) predicted inter-frame motion
+            (constant-velocity model, host-computed from the last two
+            recorded poses). The LM starts — and captures — at the
+            predicted pose, so frame-scale motion no longer drifts the
+            initial capture out of its windows (each avoided re-capture
+            saves a full banded volume sweep). The reference starts at
+            the previous pose (EMFusion.cpp:675); identity restores
+            that."""
+            pred = (state.cam_pose if delta is None
+                    else state.cam_pose @ delta)
             pts, asc = _track_pts(points, state.bg_assoc)
             rel_init = reorthonormalize(
-                pose_inverse(state.bg_pose) @ state.cam_pose)
+                pose_inverse(state.bg_pose) @ pred)
             rel, stats = track_volume(
                 state.bg_tsdf, state.bg_weights, bg_voxel,
                 pts, asc, rel_init, cfg,
@@ -392,7 +415,8 @@ class EMFusionPipeline:
             tw = stats["track_weights"].reshape(hs, ws)
             hw = stats["huber_weights"].reshape(hs, ws)
             dbg = jnp.stack([stats["iterations"].astype(jnp.float32),
-                             stats["recaptures"].astype(jnp.float32)])
+                             stats["recaptures"].astype(jnp.float32),
+                             stats["dropped_points"].astype(jnp.float32)])
             return state.replace(cam_pose=state.bg_pose @ rel), tw, hw, dbg
 
         def track_objs_subset(state: PipelineState, points, slots,
@@ -410,50 +434,37 @@ class EMFusionPipeline:
             axis stays shardable over the "obj" mesh axis — a scan would
             serialize across devices.
 
-            ``subset_unroll``: static slot count; > 0 unrolls the slots
-            with each object LM running the EXACT gather capture on its
-            top-4096 association-weighted point subset (the TPU
-            production path — the band capture applies to the camera
-            only; small object volumes track poorly from in-plane
-            resampled bands). 0 scans the slots with full-point LMs
-            (CPU/reference-exact path)."""
+            ``subset_unroll``: static slot count; > 0 runs ONE batched
+            multi-object LM (``tracking.track_volumes_batched``): every
+            slot's top-4096 association-weighted point subset is
+            captured with a single flat gather over the stacked
+            volumes and all slots iterate in one vmapped fixed-cache
+            loop with a staged mid-budget re-capture — the 16-object
+            marginal cost is one batched program instead of 16
+            sequential subset LMs (the reference overlaps its per-
+            object stages across CUDA streams, EMFusion.cpp:692-720).
+            The band capture applies to the camera only; small object
+            volumes track poorly from in-plane resampled bands. 0 scans
+            the slots with full-point LMs (CPU/reference-exact
+            path)."""
             o = state.objs
             cam_pose = state.cam_pose
             tcfg = (cfg if serial
                     else dataclasses.replace(cfg, sampler="gather"))
 
-            def track_obj(tsdf, weights, vs, pose, assoc, active,
-                          subset=False):
+            def track_obj(tsdf, weights, vs, pose, assoc, active):
                 pts, asc = _track_pts(points, assoc)
-                rel_i = reorthonormalize(pose_inverse(pose) @ cam_pose)
-                if subset:
-                    # Object LM on the top-M assoc-weighted points: an
-                    # object covers a small image fraction and pixels
-                    # with ~zero association contribute ~nothing to its
-                    # normal equations (EMFusion.cpp:692-720 weights by
-                    # assoc), so a static subset keeps the exact gather
-                    # capture affordable (cost is point-count-bound).
-                    M = min(OBJ_TRACK_POINTS, pts.shape[1])
-                    _, idx = jax.lax.top_k(asc, M)
-                    pts_s = jnp.take(pts, idx, axis=1)
-                    asc_s = jnp.take(asc, idx)
-                    rel_o, st = track_volume(
-                        tsdf, weights, vs, pts_s, asc_s, rel_i, tcfg,
-                        active=active)
-                    N_full = pts.shape[1]
-                    tw = jnp.zeros((N_full,), jnp.float32
-                                   ).at[idx].set(st["track_weights"])
-                    hw = jnp.zeros((N_full,), jnp.float32
-                                   ).at[idx].set(st["huber_weights"])
-                else:
-                    rel_o, st = track_volume(
-                        tsdf, weights, vs, pts, asc, rel_i, tcfg,
-                        active=active)
-                    tw = st["track_weights"]
-                    hw = st["huber_weights"]
+                rel_o, st = track_volume(
+                    tsdf, weights, vs, pts, asc, rel_i_of(pose), tcfg,
+                    active=active)
+                tw = st["track_weights"]
+                hw = st["huber_weights"]
                 # ObjTSDF::syncTrack: pose = cam_pose * rel^-1
                 return (cam_pose @ pose_inverse(rel_o),
                         tw.reshape(hs, ws), hw.reshape(hs, ws))
+
+            def rel_i_of(pose):
+                return reorthonormalize(pose_inverse(pose) @ cam_pose)
 
             def take(arr):
                 return jnp.take(arr, slots, axis=0)
@@ -461,10 +472,32 @@ class EMFusionPipeline:
             xs = (take(o.tsdf), take(o.weights), take(o.voxel_size),
                   take(o.pose), take(o.assoc), take(o.active))
             if serial and subset_unroll:
-                outs = [track_obj(*(x[j] for x in xs), subset=True)
-                        for j in range(subset_unroll)]
-                new_sub, tw_sub, hw_sub = (jnp.stack(t) for t in
-                                           zip(*outs))
+                from emfusion_tpu.tracking import track_volumes_batched
+                tsdf_k, w_k, vs_k, pose_k, assoc_k, act_k = xs
+                pts_full, _ = _track_pts(points, state.bg_assoc)
+                N_full = pts_full.shape[1]
+                M = min(OBJ_TRACK_POINTS, N_full)
+                asc_all = jax.vmap(
+                    lambda a: a[::stride, ::stride].reshape(-1))(assoc_k)
+                _, idx = jax.lax.top_k(asc_all, M)          # (S, M)
+                pts_s = jax.vmap(
+                    lambda i: jnp.take(pts_full, i, axis=1))(idx)
+                asc_s = jnp.take_along_axis(asc_all, idx, axis=1)
+                rel_k = jax.vmap(
+                    lambda pz: reorthonormalize(
+                        pose_inverse(pz) @ cam_pose))(pose_k)
+                rel_out, st = track_volumes_batched(
+                    tsdf_k, w_k, vs_k, pts_s, asc_s, rel_k, cfg, act_k)
+                new_sub = jax.vmap(
+                    lambda r: cam_pose @ pose_inverse(r))(rel_out)
+                tw_sub = jnp.zeros((subset_unroll, N_full), jnp.float32)
+                tw_sub = jax.vmap(lambda z, i, v: z.at[i].set(v))(
+                    tw_sub, idx, st["track_weights"]).reshape(
+                        subset_unroll, hs, ws)
+                hw_sub = jnp.zeros((subset_unroll, N_full), jnp.float32)
+                hw_sub = jax.vmap(lambda z, i, v: z.at[i].set(v))(
+                    hw_sub, idx, st["huber_weights"]).reshape(
+                        subset_unroll, hs, ws)
             elif serial:
                 def scan_body(carry, x):
                     return carry, track_obj(*x)
@@ -989,12 +1022,14 @@ class EMFusionPipeline:
             pre_obj = state.objs.assoc
             with self.timer.phase("track_camera"):
                 state, track_w, huber_w, track_dbg = self._track_camera(
-                    state, points, bg_axis=self._bg_scan_axis())
+                    state, points, delta=self._motion_delta(),
+                    bg_axis=self._bg_scan_axis())
                 if os.environ.get("EMF_TRACK_STATS"):
                     import sys as _sys
-                    it_, rc_ = np.asarray(track_dbg)
+                    it_, rc_, dp_ = np.asarray(track_dbg)
                     print(f"frame {self.frame} camera LM: {int(it_)} "
-                          f"iters, {int(rc_)} recaptures",
+                          f"iters, {int(rc_)} recaptures, "
+                          f"{int(dp_)} dropped pts",
                           file=_sys.stderr, flush=True)
             if self.save_output:
                 self.outputs["track_weights_bg"][self.frame] = \
@@ -1141,6 +1176,19 @@ class EMFusionPipeline:
         self._consume_pending()
 
     # ------------------------------------------------------------------
+    def _motion_delta(self):
+        """Constant-velocity camera prediction (Params.motion_model):
+        the inter-frame motion between the last two RECORDED poses
+        (host mirrors; current through frame-1 after _consume_pending).
+        None = static model (reference init, EMFusion.cpp:675)."""
+        if self._mm != "constvel":
+            return None
+        fs = sorted(self._poses)
+        if len(fs) < 2:
+            return None
+        d = np.linalg.inv(self._poses[fs[-2]]) @ self._poses[fs[-1]]
+        return jnp.asarray(d.astype(np.float32))
+
     def _bg_scan_axis(self) -> int:
         """Static scan axis for the background pencil/sweep programs —
         the volume axis most aligned with the camera optical axis

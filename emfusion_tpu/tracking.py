@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from emfusion_tpu.geometry.capture import (
-    WIN, capture_neighborhoods, drift_ok, sample_system_from_cache,
+    WIN, capture_neighborhoods, capture_neighborhoods_batched, drift_ok,
+    out_of_window_count, sample_system_from_cache,
     sample_value_from_cache,
 )
 from emfusion_tpu.geometry.sampling import (
@@ -345,4 +346,192 @@ def track_volume(tsdf: jnp.ndarray, weights: jnp.ndarray,
              "grad_norm": jnp.max(jnp.abs(final.b)),
              "track_weights": final.w, "huber_weights": final.hub,
              "recaptures": final.recaps}
+    # capture path: points still outside their cached windows at the
+    # final pose contributed nothing since the last re-capture (ADVICE
+    # r3: make re-capture budget exhaustion observable in real runs)
+    if use_capture:
+        stats["dropped_points"] = out_of_window_count(
+            final.anchor, points, final.R, final.t, voxel_size, shape)
+    else:
+        stats["dropped_points"] = jnp.int32(0)
     return pose, stats
+
+
+def _lm_fixed_cache(cache, anchor, points, assoc, R0, t0, voxel_size,
+                    shape, cfg: TrackConfig, active, max_iter: int):
+    """LM while_loop against a FIXED capture cache (no in-loop
+    recapture branch). The vmap-safe core of the batched object LM:
+    ``lax.cond`` under ``vmap`` degenerates to select — both branches
+    execute — so a vmapped loop must not contain the recapture call at
+    all; drifted points drop out via the samplers' window masks, and
+    ``track_volumes_batched`` re-captures BETWEEN staged halves
+    instead. Same LM semantics as ``track_volume`` otherwise
+    (TSDF.cpp:170-344)."""
+    f32 = jnp.float32
+    N = points.shape[1]
+
+    def eval_system(R, t):
+        psi, g3 = sample_system_from_cache(cache[0], anchor, points, R,
+                                           t, voxel_size, shape)
+        intw = sample_value_from_cache(cache[1:2], anchor, points, R, t,
+                                       voxel_size, shape, margin=1)[0]
+        p = R @ points + t[:, None]
+        grad_r = jnp.cross(p, g3, axis=0)
+        J = jnp.concatenate([g3, grad_r], axis=0)
+        abs_psi = jnp.abs(psi)
+        huber = jnp.where(abs_psi > 0,
+                          jnp.minimum(cfg.huber_thresh /
+                                      jnp.maximum(abs_psi, 1e-30), 1.0),
+                          0.0)
+        intw = jnp.minimum(intw, cfg.max_tsdf_weight)
+        wmax = jnp.max(intw)
+        intw = jnp.where(wmax > 0, intw / wmax, 0.0)
+        w = huber * intw * assoc
+        return psi, J, w, huber
+
+    def body(s: _LMState) -> _LMState:
+        def do_eval(_):
+            psi_e, J, w, hub = eval_system(s.R, s.t)
+            Jw = J * w[None, :]
+            A = Jw @ J.T
+            b = Jw @ psi_e
+            err = jnp.sum(w * psi_e * psi_e)
+            conv = jnp.max(jnp.abs(b)) < cfg.eps1
+            return J, w, A, b, err, hub, s.converged | conv
+
+        def no_eval(_):
+            return s.J, s.w, s.A, s.b, s.err, s.hub, s.converged
+
+        J, w, A, b, err, hub, converged = jax.lax.cond(
+            s.eval_grad & ~s.converged, do_eval, no_eval, None)
+
+        def pose_update(_):
+            mu0 = jnp.where(s.first, cfg.tau * jnp.max(jnp.diag(A)),
+                            s.mu)
+            x = jnp.linalg.solve(A + mu0 * jnp.eye(6, dtype=f32), b)
+            rel_vec = se3_log(_pose_mat(s.R, s.t))
+            step_conv = jnp.linalg.norm(x) < cfg.eps2 * (
+                jnp.linalg.norm(rel_vec) + cfg.eps2)
+            dT = se3_exp(-x)
+            R_new = dT[:3, :3] @ s.R
+            t_new = dT[:3, :3] @ s.t + dT[:3, 3]
+            psi_new = sample_value_from_cache(
+                cache[0:1], anchor, points, R_new, t_new, voxel_size,
+                shape, margin=1)[0]
+            err_new = jnp.sum(w * psi_new * psi_new)
+            gain = 0.5 * jnp.dot(x, mu0 * x + b)
+            rho = (err - err_new) / jnp.where(jnp.abs(gain) > 1e-30,
+                                              gain, 1e-30)
+            accept = rho > 0
+            rho_fac = 1.0 - (2.0 * rho - 1.0) ** 3
+            mu_acc = mu0 * jnp.maximum(1.0 / 3.0, rho_fac)
+            mu_rej = mu0 * s.nu
+            nu_new = jnp.where(accept, cfg.nu_init, s.nu * cfg.nu_init)
+            do_step = ~step_conv
+            return (jnp.where(do_step & accept, R_new, s.R),
+                    jnp.where(do_step & accept, t_new, s.t),
+                    jnp.where(do_step,
+                              jnp.where(accept, mu_acc, mu_rej), mu0),
+                    jnp.where(do_step, nu_new, s.nu),
+                    jnp.asarray(False),
+                    jnp.where(do_step, accept, s.eval_grad),
+                    converged | step_conv)
+
+        def no_update(_):
+            return (s.R, s.t, s.mu, s.nu, s.first, s.eval_grad,
+                    converged)
+
+        (R, t, mu, nu, first, eval_grad, converged2) = jax.lax.cond(
+            converged, no_update, pose_update, None)
+        return s._replace(R=R, t=t, mu=mu, nu=nu, first=first,
+                          eval_grad=eval_grad, converged=converged2,
+                          J=J, w=w, A=A, b=b, err=err, hub=hub,
+                          it=s.it + 1)
+
+    def cond(s: _LMState):
+        return (s.it < max_iter) & ~s.converged
+
+    active_flag = jnp.asarray(active, bool)
+    init = _LMState(
+        R=R0, t=t0, mu=jnp.asarray(0.0, f32),
+        nu=jnp.asarray(cfg.nu_init, f32), first=jnp.asarray(True),
+        eval_grad=jnp.asarray(True), converged=jnp.asarray(~active_flag),
+        J=jnp.zeros((6, N), f32), w=jnp.zeros((N,), f32),
+        A=jnp.eye(6, dtype=f32), b=jnp.zeros((6,), f32),
+        err=jnp.asarray(0.0, f32), hub=jnp.zeros((N,), f32),
+        it=jnp.int32(0), cache=jnp.zeros((1,), f32),
+        anchor=jnp.zeros((1,), jnp.int32), recaps=jnp.int32(0))
+    return jax.lax.while_loop(cond, body, init)
+
+
+def track_volumes_batched(tsdf_k, weights_k, voxel_k, points_k, assoc_k,
+                          rel_k, cfg: TrackConfig, active_k):
+    """Batched multi-object LM: all pool slots tracked in ONE program.
+
+    Replaces the host pipeline's per-slot unrolled LMs (the reference
+    interleaves object stages across CUDA streams to overlap exactly
+    this serialization, ``EMFusion.cpp:692-720``; the TPU analogue is
+    batching). Structure:
+
+      1. one BATCHED exact-gather capture of every slot's point
+         neighborhoods (single flat take over the stacked volumes);
+      2. a vmapped fixed-cache LM for the first half of the iteration
+         budget (no in-loop recapture — see ``_lm_fixed_cache``);
+      3. one unconditional batched re-capture at the updated poses
+         (the serial path re-captures on drift; a fixed mid-schedule
+         re-capture costs one capture for the whole pool and restores
+         any points that drifted out of their windows in stage 2);
+      4. a vmapped fixed-cache LM for the remaining budget.
+
+    Args are stacked over slots: tsdf_k/weights_k (S, Z, Y, X),
+    voxel_k (S,), points_k (S, 3, M), assoc_k (S, M), rel_k (S, 4, 4)
+    camera-to-object, active_k (S,).
+
+    Returns (poses (S, 4, 4), stats dict batched over S).
+    """
+    S = tsdf_k.shape[0]
+    shape = tsdf_k.shape[1:]
+    vols = jnp.stack([tsdf_k, weights_k], axis=1)     # (S, 2, Z, Y, X)
+    cache_dtype = (tsdf_k.dtype if tsdf_k.dtype == jnp.bfloat16
+                   else jnp.float32)
+
+    R0 = rel_k[:, :3, :3]
+    t0 = rel_k[:, :3, 3]
+    cache, anchor = capture_neighborhoods_batched(vols, points_k, R0,
+                                                  t0, voxel_k)
+    cache = cache.astype(cache_dtype)
+
+    half = max(cfg.max_iter // 2, 1)
+
+    def lm(cache_, anchor_, pts, asc, R_, t_, vs, act, budget):
+        return _lm_fixed_cache(cache_, anchor_, pts, asc, R_, t_, vs,
+                               shape, cfg, act, budget)
+
+    s1 = jax.vmap(lm, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))(
+        cache, anchor, points_k, assoc_k, R0, t0, voxel_k, active_k,
+        half)
+
+    cache2, anchor2 = capture_neighborhoods_batched(
+        vols, points_k, s1.R, s1.t, voxel_k)
+    cache2 = cache2.astype(cache_dtype)
+    # keep the stage-1 cache for slots that already converged (their
+    # stats/pose are final; a fresh capture is unused work XLA prunes)
+    s2 = jax.vmap(lm, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None))(
+        cache2, anchor2, points_k, assoc_k, s1.R, s1.t, voxel_k,
+        active_k & ~s1.converged, cfg.max_iter - half)
+
+    done1 = s1.converged
+    R = jnp.where(done1[:, None, None], s1.R, s2.R)
+    t = jnp.where(done1[:, None], s1.t, s2.t)
+    pick = lambda a, b: jnp.where(  # noqa: E731
+        done1.reshape((S,) + (1,) * (a.ndim - 1)), a, b)
+    poses = jax.vmap(_pose_mat)(R, t)
+    stats = {
+        "iterations": s1.it + jnp.where(done1, 0, s2.it),
+        "converged": jnp.where(done1, s1.converged, s2.converged),
+        "track_weights": pick(s1.w, s2.w),
+        "huber_weights": pick(s1.hub, s2.hub),
+        "recaptures": jnp.where(done1, 0, 1) * jnp.ones((S,),
+                                                        jnp.int32),
+    }
+    return poses, stats

