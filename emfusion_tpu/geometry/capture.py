@@ -159,16 +159,19 @@ def capture_neighborhoods_batched(vols: jnp.ndarray,
 
     table = vols.reshape(K * C * Z * Y * X8, 8)
     caches = []
+    # per-tap lane one-hot: the x-tap select over the 16 gathered lanes
+    # runs as ONE einsum (exact: each output sums exactly one nonzero
+    # product). A slice-per-lane loop makes XLA materialize size-1-
+    # minor-dim intermediates that lane-pad 128x (1.12 GB each, K=16).
+    oh = (xoff[..., None] ==
+          jnp.arange(16, dtype=jnp.int32)).astype(jnp.float32)
     for c in range(C):
         r0 = (kofs + c) * (Z * Y * X8) + row + c0[:, None, None, :]
         ridx = jnp.stack([r0, r0 + 1], axis=-1).reshape(-1)
         g = jnp.take(table, ridx, axis=0)
         g = g.astype(jnp.float32).reshape(K, WIN, WIN, M, 16)
-        out = jnp.zeros((K, WIN, WIN, WIN, M), jnp.float32)
-        for k16 in range(16):
-            sel = (xoff == k16)                              # (K, W, M)
-            out = out + jnp.where(sel[:, None, None, :, :],
-                                  g[:, :, :, None, :, k16], 0.0)
+        out = jnp.einsum("kzyml,kxml->kzyxm", g, oh,
+                         preferred_element_type=jnp.float32)
         caches.append(out)
     return jnp.stack(caches, axis=1), anchor
 
