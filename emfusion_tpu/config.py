@@ -181,6 +181,15 @@ class Params:
     # re-capture saves a banded volume sweep). "auto": constvel on
     # TPU, static on CPU.
     motion_model: str = "auto"
+    # Object E-step point budget: each object's association weights are
+    # evaluated only at the top-M points inside its volume's bounding
+    # box (EXACT culling — outside points sample the reference's 0
+    # sentinel and get weight 0 anyway; ObjTSDF.cpp:189-200). Bounds
+    # the per-object trilinear gathers, the dominant E-step cost at 16
+    # objects. An object footprint larger than M points drops the
+    # overflow (weight 0 there); 8192 covers a 180x180-px object at the
+    # production escale-2 grid. 0 = evaluate all points (exact path).
+    estep_obj_subset: int = 8192
 
     @property
     def intr(self) -> np.ndarray:
@@ -255,7 +264,7 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
     elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",
                  "visibilityThresh", "boundary", "max_objects",
                  "raycast_max_steps", "mc_max_verts", "tracking_stride",
-                 "estep_scale", "mask_min_pixels"):
+                 "estep_scale", "mask_min_pixels", "estep_obj_subset"):
         setattr(params, key, int(v))
     elif hasattr(params, key):
         setattr(params, key, float(v))

@@ -307,13 +307,50 @@ class EMFusionPipeline:
                     bg_voxel, bg_trunc, tsdfp.assocSigma, tsdfp.alpha,
                     tsdfp.uniPrior)
 
+            ph, pw = pts.shape[1], pts.shape[2]
+            P = ph * pw
+            ptsf = pts.reshape(3, P)
+            Ms = p.estep_obj_subset
+            use_subset = 0 < Ms < P
+
             def obj_assoc(tsdf, fgc, pose, vs, td):
                 rel = pose_inverse(pose) @ state.cam_pose
                 fgvol = compute_fg_probs(fgc)
-                w, fg = association_weights(
-                    tsdf, pts, rel[:3, :3], rel[:3, 3], vs, td,
+                if not use_subset:
+                    w, fg = association_weights(
+                        tsdf, pts, rel[:3, :3], rel[:3, 3], vs, td,
+                        tsdfp.assocSigma, tsdfp.alpha, tsdfp.uniPrior,
+                        fg_prob_vol=fgvol)
+                    return w, fg
+                # Geometric culling (EXACT): a point outside the object
+                # volume samples the reference's 0 sentinel -> weight 0
+                # (ObjTSDF.cpp:189-200 via getVolumeVals), so only the
+                # points inside the volume's bounding box need the
+                # trilinear gathers — an object covers a small image
+                # fraction, and these gathers were the E-step's dominant
+                # cost at 16 objects (fenced: ~250 ms x3 per frame).
+                po = rel[:3, :3] @ ptsf + rel[:3, 3:]
+                half = (self.obj_res - 1) / 2.0 * vs
+                inside = jnp.all(jnp.abs(po) <= half, axis=0) \
+                    & (ptsf[2] > 0)
+                # center-priority: if the bbox footprint exceeds the
+                # budget (volPad makes it ~4x the mask area), drop the
+                # bbox-corner points first — they carry at most the
+                # uniform-prior weight, while the object's own pixels
+                # cluster around the volume center
+                score = jnp.where(inside, -jnp.sum(po * po, axis=0),
+                                  -jnp.inf)
+                _, idx = jax.lax.top_k(score, Ms)
+                pts_s = jnp.take(ptsf, idx, axis=1)
+                in_s = jnp.take(inside, idx)
+                w_s, fg_s = association_weights(
+                    tsdf, pts_s, rel[:3, :3], rel[:3, 3], vs, td,
                     tsdfp.assocSigma, tsdfp.alpha, tsdfp.uniPrior,
                     fg_prob_vol=fgvol)
+                w = jnp.zeros((P,), jnp.float32).at[idx].set(
+                    jnp.where(in_s, w_s, 0.0)).reshape(ph, pw)
+                fg = jnp.zeros((P,), jnp.float32).at[idx].set(
+                    jnp.where(in_s, fg_s, 0.0)).reshape(ph, pw)
                 return w, fg
 
             o = state.objs
@@ -324,7 +361,6 @@ class EMFusionPipeline:
             obj_w_sub, obj_fg_sub = jax.vmap(obj_assoc)(
                 take(o.tsdf), take(o.fg_counts), take(o.pose),
                 take(o.voxel_size), take(o.truncdist))
-            ph, pw = pts.shape[1], pts.shape[2]
             obj_w = jnp.zeros((K, ph, pw), jnp.float32
                               ).at[slots].set(obj_w_sub)
             bg_n, obj_n = normalize_associations(bg_w, obj_w, o.active)
