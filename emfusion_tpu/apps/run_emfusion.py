@@ -47,6 +47,12 @@ def build_parser():
                          "(frame_meshes/ tree)")
     ap.add_argument("--frames", type=int, default=None,
                     help="process at most N frames")
+    ap.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="run the live HTTP viewer on PORT: MJPEG "
+                         "stream of the model rendering + interactive "
+                         "orbit views of the fused model "
+                         "(emfusion_tpu/viz_server.py — the headless "
+                         "analogue of the reference's cv::viz window)")
     ap.add_argument("--platform", default=None, choices=["tpu", "cpu"],
                     help="force JAX platform")
     ap.add_argument("--profile", help="jax profiler trace directory")
@@ -129,6 +135,12 @@ def main(argv=None):
         skip_until = pipe.frame
         print(f"resumed from {args.checkpoint} at frame {skip_until}")
 
+    viewer = None
+    if args.serve:
+        from emfusion_tpu.viz_server import LiveViewer
+        viewer = LiveViewer(pipe, port=args.serve)
+        print(f"live viewer: http://localhost:{viewer.port}/")
+
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
@@ -143,6 +155,8 @@ def main(argv=None):
             pipe.process_frame(frame.rgb, frame.depth,
                                timestamp=frame.timestamp)
             frame_times.append(time.time() - t_f)
+            if viewer is not None:
+                viewer.publish()
             if args.exportdir:
                 pipe.outputs["renderings"][n] = pipe.render()
                 if args.frame_meshes and \

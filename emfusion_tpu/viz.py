@@ -118,16 +118,17 @@ def _draw_lines(draw, pts2d, ok, edges, color):
                       width=1)
 
 
-def render_turntable(pipe, n_views: int = 12,
-                     radius: Optional[float] = None,
-                     with_widgets: bool = True) -> List[np.ndarray]:
-    """Render the current fused model from a horizontal camera orbit.
+def render_orbit_view(pipe, yaw: float, pitch: float = -0.25,
+                      radius: Optional[float] = None,
+                      with_widgets: bool = True) -> np.ndarray:
+    """Render the current fused model from one virtual orbit camera.
 
-    Uses the pipeline's own raycast+Phong programs from virtual camera
-    poses (the scene itself is untouched); overlays object volume
-    bounding boxes and the real camera's frustum, like the reference's
-    3-D window (``EMFusion.cpp:162-233``). Returns a list of (H, W, 3)
-    uint8 frames.
+    ``yaw`` in radians around the volume center; ``pitch`` is the
+    eye-height fraction of the radius (negative = above). Uses the
+    pipeline's own raycast+Phong programs (the scene is untouched);
+    overlays object volume bounding boxes and the real camera's
+    frustum, like the reference's 3-D window widgets
+    (``EMFusion.cpp:162-233``). Returns an (H, W, 3) uint8 frame.
     """
     from PIL import Image, ImageDraw
     import jax.numpy as jnp
@@ -141,52 +142,58 @@ def render_turntable(pipe, n_views: int = 12,
     slots = jnp.asarray(np.nonzero(pipe._h_active)[0], np.int32)
     intr = np.asarray(pipe.params.intr)
 
-    frames = []
-    for i in range(n_views):
-        th = 2 * np.pi * i / n_views
-        eye = center + radius * np.array(
-            [np.sin(th), -0.25, np.cos(th)], np.float32)
-        pose = _look_at(eye.astype(np.float32), center.astype(np.float32))
-        state_v = pipe.state.replace(cam_pose=jnp.asarray(pose))
-        _, rc = pipe._raycast_subset(state_v, slots,
-                                     bg_axis=pipe._bg_scan_axis())
-        img = render_phong(rc["vertices"], rc["normals"], rc["seg"],
-                           jnp.asarray(pipe.colormap))
-        img = np.asarray(img).astype(np.uint8)
+    eye = center + radius * np.array(
+        [np.sin(yaw), pitch, np.cos(yaw)], np.float32)
+    pose = _look_at(eye.astype(np.float32), center.astype(np.float32))
+    state_v = pipe.state.replace(cam_pose=jnp.asarray(pose))
+    _, rc = pipe._raycast_subset(state_v, slots,
+                                 bg_axis=pipe._bg_scan_axis())
+    img = render_phong(rc["vertices"], rc["normals"], rc["seg"],
+                       jnp.asarray(pipe.colormap))
+    img = np.asarray(img).astype(np.uint8)
 
-        if with_widgets:
-            pil = Image.fromarray(img)
-            draw = ImageDraw.Draw(pil)
-            # object volume bounding boxes (world-frame cubes)
-            obj_pose = np.asarray(pipe.state.objs.pose)
-            obj_vs = np.asarray(pipe.state.objs.voxel_size)
-            for k in np.nonzero(pipe._h_active)[0]:
-                half = (pipe.obj_res - 1) * float(obj_vs[k]) / 2
-                corners_o = np.array(
-                    [[sx * half, sy * half, sz * half]
-                     for sz in (-1, 1) for sy in (-1, 1)
-                     for sx in (-1, 1)], np.float32)
-                T = obj_pose[k]
-                corners_w = corners_o @ T[:3, :3].T + T[:3, 3]
-                pts2d, ok = _project(corners_w, pose, intr)
-                oid = int(pipe._h_ids[k])
-                color = tuple(int(c) for c in pipe.colormap[oid % 256])
-                _draw_lines(draw, pts2d, ok, _BOX_EDGES, color)
-            # camera frustum widget at the real camera pose
-            cam = pipe._h_cam_pose
-            zf = 0.25
-            fr = np.array([[0, 0, 0],
-                           [-zf, -zf * 0.75, zf], [zf, -zf * 0.75, zf],
-                           [-zf, zf * 0.75, zf], [zf, zf * 0.75, zf]],
-                          np.float32)
-            fr_w = fr @ cam[:3, :3].T + cam[:3, 3]
-            pts2d, ok = _project(fr_w, pose, intr)
-            edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 4),
-                     (4, 3), (3, 1)]
-            _draw_lines(draw, pts2d, ok, edges, (255, 255, 0))
-            img = np.asarray(pil)
-        frames.append(img)
-    return frames
+    if with_widgets:
+        pil = Image.fromarray(img)
+        draw = ImageDraw.Draw(pil)
+        # object volume bounding boxes (world-frame cubes)
+        obj_pose = np.asarray(pipe.state.objs.pose)
+        obj_vs = np.asarray(pipe.state.objs.voxel_size)
+        for k in np.nonzero(pipe._h_active)[0]:
+            half = (pipe.obj_res - 1) * float(obj_vs[k]) / 2
+            corners_o = np.array(
+                [[sx * half, sy * half, sz * half]
+                 for sz in (-1, 1) for sy in (-1, 1)
+                 for sx in (-1, 1)], np.float32)
+            T = obj_pose[k]
+            corners_w = corners_o @ T[:3, :3].T + T[:3, 3]
+            pts2d, ok = _project(corners_w, pose, intr)
+            oid = int(pipe._h_ids[k])
+            color = tuple(int(c) for c in pipe.colormap[oid % 256])
+            _draw_lines(draw, pts2d, ok, _BOX_EDGES, color)
+        # camera frustum widget at the real camera pose
+        cam = pipe._h_cam_pose
+        zf = 0.25
+        fr = np.array([[0, 0, 0],
+                       [-zf, -zf * 0.75, zf], [zf, -zf * 0.75, zf],
+                       [-zf, zf * 0.75, zf], [zf, zf * 0.75, zf]],
+                      np.float32)
+        fr_w = fr @ cam[:3, :3].T + cam[:3, 3]
+        pts2d, ok = _project(fr_w, pose, intr)
+        edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 4),
+                 (4, 3), (3, 1)]
+        _draw_lines(draw, pts2d, ok, edges, (255, 255, 0))
+        img = np.asarray(pil)
+    return img
+
+
+def render_turntable(pipe, n_views: int = 12,
+                     radius: Optional[float] = None,
+                     with_widgets: bool = True) -> List[np.ndarray]:
+    """Render the current fused model from a horizontal camera orbit
+    (``render_orbit_view`` at n evenly spaced yaws)."""
+    return [render_orbit_view(pipe, 2 * np.pi * i / n_views,
+                              radius=radius, with_widgets=with_widgets)
+            for i in range(n_views)]
 
 
 def save_frames(frames: Sequence[np.ndarray], path_pattern: str) -> None:
