@@ -463,6 +463,25 @@ def _main(out, wd):
                 out["mesh_export_s"] = round(mesh_s, 1)
                 out["mesh_export_verts"] = nv
 
+    # --- 16-object stress (BASELINE stress config, single-chip leg) ---
+    if on_tpu and os.environ.get("EMF_BENCH_STRESS", "1") != "0":
+        def stress_section():
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "bench_stress16",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scripts", "bench_stress16.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            return mod.run_stress(log=log, with_mesh_export=False)
+
+        stress = run_section(out, "stress16", stress_section, wd,
+                             retries=0, deadline_s=1500)
+        if stress is not None:
+            ms, n_alive, _ = stress
+            out["stress16_ms_per_frame"] = round(ms, 1)
+            out["stress16_objects"] = n_alive
+
 
 def bench_e2e(res: int, log):
     """Steady-state wall-clock per full SLAM frame: preprocess + E-step +

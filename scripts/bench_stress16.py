@@ -18,17 +18,13 @@ import time
 import numpy as np
 
 
-def main():
+def run_stress(log=print, with_mesh_export=True):
+    """BASELINE stress config, single-chip leg: 16 objects, steady-
+    state ms/frame. Returns (ms_per_frame, n_objects_alive,
+    mesh_export_s or None). Importable (bench.py runs it as a BENCH
+    extras section)."""
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_default_matmul_precision", "highest")
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
-    except Exception:
-        pass
     from emfusion_tpu.config import Params
     from emfusion_tpu.pipeline import EMFusionPipeline
     from emfusion_tpu.segmentation import (CallableMaskProvider,
@@ -81,8 +77,8 @@ def main():
         pipe.process_frame(None, frames[f])
     pipe.flush()
     n_obj = len(pipe.active_object_ids)
-    print(f"warmup: {time.perf_counter() - t0:.1f}s, "
-          f"{n_obj} objects active", flush=True)
+    log(f"warmup: {time.perf_counter() - t0:.1f}s, "
+        f"{n_obj} objects active")
 
     pipe.timer.reset()
     t0 = time.perf_counter()
@@ -91,19 +87,37 @@ def main():
         pipe.process_frame(None, frames[f])
     pipe.flush()
     dt = (time.perf_counter() - t0) / n_meas
-    print(f"16-obj steady-state: {dt * 1e3:.1f} ms/frame "
-          f"({1.0 / dt:.2f} fps), {len(pipe.active_object_ids)} objects",
-          flush=True)
-    print(pipe.timer.summary(), flush=True)
+    n_alive = len(pipe.active_object_ids)
+    log(f"16-obj steady-state: {dt * 1e3:.1f} ms/frame "
+        f"({1.0 / dt:.2f} fps), {n_alive} objects")
+    log(pipe.timer.summary())
 
     # per-frame mesh export (BASELINE stress requires it per frame)
-    import tempfile
-    from emfusion_tpu.io.writers import write_frame_meshes
-    d = tempfile.mkdtemp()
-    t0 = time.perf_counter()
-    write_frame_meshes(pipe, d, pipe.frame)
-    print(f"frame mesh export (bg + {len(pipe.active_object_ids)} "
-          f"objects): {time.perf_counter() - t0:.2f}s -> {d}", flush=True)
+    mesh_s = None
+    if with_mesh_export:
+        import tempfile
+        from emfusion_tpu.io.writers import write_frame_meshes
+        d = tempfile.mkdtemp()
+        t0 = time.perf_counter()
+        write_frame_meshes(pipe, d, pipe.frame)
+        mesh_s = time.perf_counter() - t0
+        log(f"frame mesh export (bg + {n_alive} objects): "
+            f"{mesh_s:.2f}s -> {d}")
+    return dt * 1e3, n_alive, mesh_s
+
+
+def main():
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    try:
+        import os as _os
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+    run_stress()
 
 
 if __name__ == "__main__":
