@@ -53,6 +53,10 @@ def build_parser():
                          "orbit views of the fused model "
                          "(emfusion_tpu/viz_server.py — the headless "
                          "analogue of the reference's cv::viz window)")
+    ap.add_argument("--serve-host", default="127.0.0.1",
+                    help="bind address for --serve (default loopback; "
+                         "the viewer has no auth -- use 0.0.0.0 only "
+                         "on trusted networks)")
     ap.add_argument("--platform", default=None, choices=["tpu", "cpu"],
                     help="force JAX platform")
     ap.add_argument("--profile", help="jax profiler trace directory")
@@ -138,7 +142,7 @@ def main(argv=None):
     viewer = None
     if args.serve:
         from emfusion_tpu.viz_server import LiveViewer
-        viewer = LiveViewer(pipe, port=args.serve)
+        viewer = LiveViewer(pipe, port=args.serve, host=args.serve_host)
         print(f"live viewer: http://localhost:{viewer.port}/")
 
     if args.profile:

@@ -520,8 +520,12 @@ def extract_mesh_sparse(tsdf, mask, voxel_size,
                     f"caps ({m} cubes / {nv} verts / {nt} tris); raise "
                     f"m_cap")
             half = zcb // 2
-            jobs.append((z0, ov, half))
-            jobs.append((z0 + half, 0, zcb - half))
+            jobs.append((z0, min(ov, half), half))
+            # cube layers [z0+half, z0+ov) were already emitted by the
+            # previous band when ov > half -- the second half inherits
+            # the residual overlap (ADVICE r4: dropping it duplicated
+            # those layers' vertices/triangles).
+            jobs.append((z0 + half, max(ov - half, 0), zcb - half))
             return
         if nv == 0:
             return

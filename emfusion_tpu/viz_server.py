@@ -100,7 +100,10 @@ def _encode_jpeg(img: np.ndarray) -> bytes:
 class LiveViewer:
     """Background HTTP viewer; ``publish()`` per processed frame."""
 
-    def __init__(self, pipe, port: int = 0, host: str = "0.0.0.0"):
+    def __init__(self, pipe, port: int = 0, host: str = "127.0.0.1"):
+        # loopback by default: the stream exposes scene renderings and
+        # camera poses with no auth (ADVICE r4) -- opt into remote
+        # access explicitly via --serve-host 0.0.0.0.
         self.pipe = pipe
         self._latest: bytes | None = None
         self._latest_seq = 0

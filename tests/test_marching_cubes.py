@@ -122,7 +122,14 @@ def test_sparse_matches_single_pass():
     mask = weights > 0
     v1, n1, t1 = extract_mesh(tsdf, grads, mask, 0.05,
                               max_verts=300_000, max_tris=300_000)
-    for zc, mc in ((13, 1 << 17), (16, 1 << 17), (48, 2048)):
+    # (32, 700): the clamped band spawns as (z0=15, ov=17, zc=32) and
+    # the tiny m_cap splits it with ov > half -- the second half must
+    # inherit the residual overlap (ADVICE r4: it was enqueued with
+    # ov=0, silently re-emitting already-emitted cube layers). 700 sits
+    # between this sphere's max 4-layer window (656 cubes, so the
+    # recursion terminates) and the band's post-skip content (1161, so
+    # it does split).
+    for zc, mc in ((13, 1 << 17), (16, 1 << 17), (48, 2048), (32, 700)):
         v2, n2, t2 = extract_mesh_sparse(tsdf, mask, 0.05,
                                          max_verts=300_000,
                                          max_tris=300_000, z_chunk=zc,
