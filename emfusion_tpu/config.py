@@ -174,6 +174,19 @@ class Params:
     # value-unaffected (measurements there already agree; the voxel's
     # weight pins at ~1). Set >= maxTSDFWeight to disable the clamp.
     bg_carve_weight_cap: float = 0.0
+    # r5 (ADVICE r4): the weight cap applies only where the free-space
+    # measurement CONTRADICTS the stored value by more than this margin
+    # (tsdf units): tsdf_meas - stored > margin. In the agreeing shell
+    # carve_dist <= sdf < truncdist in front of ordinary surfaces the
+    # running average (and its depth-noise suppression) is preserved —
+    # at cap=0 an ungated carve vote would replace those values with
+    # the single latest (noisy) measurement every frame. Genuinely
+    # contradicted voxels (a stale surface the camera now sees through,
+    # measurement near +1 vs stored near/below 0) still flip
+    # immediately. Gated under sensor noise + outlier tests
+    # (tests/test_object_survival.py). Set <= -2 to cap every carve
+    # vote (the r4 behavior).
+    bg_carve_margin: float = 0.25
     # Camera LM initialization: "static" starts at the previous pose
     # (reference, EMFusion.cpp:675); "constvel" starts AND captures at
     # a constant-velocity prediction from the last two poses, keeping

@@ -31,7 +31,8 @@ def integrate_tsdf_pencil_zsharded(
         mesh: Mesh, tsdf, weights, depth, assoc_weights, rel_rot_oc,
         rel_trans_oc, intr, voxel_size, truncdist, max_weight,
         oversample: float = 1.25, bf16: bool = False,
-        axis_name: str = "z", carve_dist=None, carve_weight_cap=None):
+        axis_name: str = "z", carve_dist=None, carve_weight_cap=None,
+        carve_margin=None):
     """z-sharded drop-in for ``integrate_tsdf_pencil`` (axis=2 scan
     layout): the volume's leading (Z) axis is sharded over
     ``mesh[axis_name]``; outputs keep that sharding.
@@ -52,7 +53,8 @@ def integrate_tsdf_pencil_zsharded(
         jnp.asarray(rel_rot_oc), jnp.asarray(rel_trans_oc),
         jnp.asarray(intr), jnp.float32(voxel_size),
         (Z, Y, X), truncdist, max_weight, SB, LB,
-        carve_dist=carve_dist, carve_weight_cap=carve_weight_cap)
+        carve_dist=carve_dist, carve_weight_cap=carve_weight_cap,
+        carve_margin=carve_margin)
 
     local = functools.partial(_scan_slices, SB=SB, LB=LB, bf16=bf16,
                               windowed=False, H=H, W=W)

@@ -127,10 +127,16 @@ def read_volume_bin(filename: str):
     return data, res, voxel
 
 
-def write_frame_meshes(pipe, path: str, frame: int) -> None:
+def write_frame_meshes(pipe, path: str, frame: int,
+                       objects_only: bool = False) -> None:
     """Per-frame mesh dumps (reference ``frame_meshes/`` tree, written by
     the 3D-vis path, ``EMFusion.cpp:1263-1300``). Uses the native async
-    writer when available so meshing/export stays off the frame loop."""
+    writer when available so meshing/export stays off the frame loop.
+
+    ``objects_only``: skip the background volume — the stress bench
+    exports object meshes (64^3, cheap) every frame and the 512^3
+    background at the mask cadence, mirroring how the reference's 3D
+    window only re-meshes what changed visibly."""
     from emfusion_tpu.ops.marching_cubes import (
         extract_mesh, extract_mesh_sparse)
     from emfusion_tpu.volume import fg_probs as _fgp
@@ -149,6 +155,18 @@ def write_frame_meshes(pipe, path: str, frame: int) -> None:
             write_ply(fp, verts, norms, tris)
 
     import jax.numpy as jnp
+    if objects_only:
+        o = pipe.state.objs
+        for oid in pipe.active_object_ids:
+            k = pipe._slot_of(oid)
+            mask = (o.weights[k] > 0) & (_fgp(o.fg_counts[k]) > 0.5)
+            v2, n2, t2 = extract_mesh(o.tsdf[k], o.grads[k], mask,
+                                      float(np.asarray(o.voxel_size[k])))
+            emit(f"mesh_{oid}_{frame:04d}.ply", v2, n2, t2)
+        if writer is not None:
+            writer.wait()
+            writer.close()
+        return
     bg_t = pipe.state.bg_tsdf.astype(jnp.float32)  # bf16 storage -> f32
     mesh = getattr(pipe, "mesh", None)
     if mesh is not None and mesh.shape.get("z", 1) > 1:

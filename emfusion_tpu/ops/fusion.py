@@ -53,7 +53,7 @@ def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
                    rel_rot_oc: jnp.ndarray, rel_trans_oc: jnp.ndarray,
                    intr: jnp.ndarray, voxel_size, truncdist,
                    max_weight: float, carve_dist=None,
-                   carve_weight_cap=None):
+                   carve_weight_cap=None, carve_margin=None):
     """Weighted projective TSDF fusion with association weights.
 
     Faithful to ``kernel_updateTSDF`` semantics including the carving rules:
@@ -91,6 +91,16 @@ def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
     truth win in O(cap) frames. Static free space is unaffected in
     value (measurements there already agree).
 
+    ``carve_margin`` (r5, ADVICE r4): gate the weight cap on ACTUAL
+    contradiction — the cap applies only where the free-space
+    measurement exceeds the stored tsdf by more than this margin (in
+    tsdf units). In the agreeing shell ``carve_dist <= sdf <
+    truncdist`` in front of ordinary background surfaces, stored and
+    measured values agree, so the running average (and its noise
+    suppression) is preserved; genuinely contradicted voxels (a stale
+    surface the camera now sees through) still flip immediately.
+    None = cap applies to every carve vote (the r4 behavior).
+
     Returns (tsdf, weights) updated.
     """
     if carve_dist is None:
@@ -127,7 +137,10 @@ def integrate_tsdf(tsdf: jnp.ndarray, weights: jnp.ndarray,
     new_w = jnp.where(carving, 1.0, assoc_val)
     w_eff = weights
     if carve_weight_cap is not None:
-        w_eff = jnp.where(carving,
+        capped = carving
+        if carve_margin is not None:
+            capped = carving & (tsdf_meas - tsdf > carve_margin)
+        w_eff = jnp.where(capped,
                           jnp.minimum(weights, carve_weight_cap),
                           weights)
 

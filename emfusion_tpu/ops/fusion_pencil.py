@@ -340,7 +340,7 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
                       intr, voxel_size, truncdist, max_weight,
                       SB: int, LB: int, bf16: bool = False,
                       windowed: bool = False, carve_dist=None,
-                      carve_weight_cap=None):
+                      carve_weight_cap=None, carve_margin=None):
     Z, Y, X = tsdf.shape
     H, W = depth.shape
     f32 = jnp.float32
@@ -350,7 +350,8 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
     Bmat, Binv, abg, camc, D_B, A_B, scal = _pencil_stage1(
         depth, assoc, rel_rot, rel_trans, intr, voxel_size,
         (Z, Y, X), truncdist, max_weight, SB, LB,
-        carve_dist=carve_dist, carve_weight_cap=carve_weight_cap)
+        carve_dist=carve_dist, carve_weight_cap=carve_weight_cap,
+        carve_margin=carve_margin)
     return _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
                         SB=SB, LB=LB, bf16=bf16, windowed=windowed,
                         H=H, W=W)
@@ -358,7 +359,8 @@ def _integrate_pencil(tsdf, weights, depth, assoc, rel_rot, rel_trans,
 
 def _pencil_stage1(depth, assoc, rel_rot, rel_trans, intr, voxel_size,
                    shape, truncdist, max_weight, SB: int, LB: int,
-                   carve_dist=None, carve_weight_cap=None):
+                   carve_dist=None, carve_weight_cap=None,
+                   carve_margin=None):
     """Global (z-independent) part of the pencil factorization: setup,
     image->B-grid warps, per-slice coefficient rows and the scalar
     bundle consumed by the slice scan. Shared by the single-device path
@@ -381,13 +383,16 @@ def _pencil_stage1(depth, assoc, rel_rot, rel_trans, intr, voxel_size,
         carve_dist = truncdist
     if carve_weight_cap is None:
         carve_weight_cap = 1e30          # no clamp
+    if carve_margin is None:
+        carve_margin = -2.0              # cap every carve vote (r4)
     scal = jnp.stack([
         a0, b0, da, db, capx[0], capx[1], capx[2], capy[0], capy[1],
         capy[2], intr[0, 0], intr[1, 1], intr[0, 2], intr[1, 2],
         jnp.asarray(truncdist, jnp.float32),
         jnp.asarray(max_weight, jnp.float32),
         jnp.asarray(carve_dist, jnp.float32),
-        jnp.asarray(carve_weight_cap, jnp.float32)]).astype(jnp.float32)
+        jnp.asarray(carve_weight_cap, jnp.float32),
+        jnp.asarray(carve_margin, jnp.float32)]).astype(jnp.float32)
     return Bmat, Binv, abg, camc, D_B, A_B, scal
 
 
@@ -408,6 +413,7 @@ def _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
     fx, fy, cx, cy = scal[10], scal[11], scal[12], scal[13]
     truncdist, max_weight = scal[14], scal[15]
     carve_dist, carve_cap = scal[16], scal[17]
+    carve_margin = scal[18]
 
     pq_p = jnp.arange(X, dtype=f32)
     pq_q = jnp.arange(Y, dtype=f32)
@@ -527,8 +533,10 @@ def _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
 
         valid = in_front & in_frame & (depth_val > 0.0)
 
-        ux = (pix_x.astype(f32) - cx) / fx
-        uy = (pix_y.astype(f32) - cy) / fy
+        # mirrors the Pallas epilogue's (pix - c) * inv_f form (sub-ulp
+        # vs the divide; keeps the two backends tightly matched)
+        ux = (pix_x.astype(f32) - cx) * (1.0 / fx)
+        uy = (pix_y.astype(f32) - cy) * (1.0 / fy)
         # single-sqrt form of norm_cam / lam (bit-matches the Pallas
         # kernel; ~1 ulp vs the reference's two-sqrt form)
         sdf = depth_val - jnp.sqrt(
@@ -542,7 +550,8 @@ def _scan_slices(tsdf, weights, D_B, A_B, abg, camc, scal,
         # for the free-space carving semantics
         carving = valid & (sdf >= carve_dist)
         new_w = jnp.where(carving, 1.0, assoc_val)
-        w_eff = jnp.where(carving, jnp.minimum(wslice, carve_cap),
+        capped = carving & (tsdf_meas - tslice > carve_margin)
+        w_eff = jnp.where(capped, jnp.minimum(wslice, carve_cap),
                           wslice)
 
         denom = w_eff + new_w
@@ -571,7 +580,7 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
                           max_weight, oversample: float = 1.25,
                           bf16: bool = False, grid=None, axis: int = 2,
                           windowed: bool = False, carve_dist=None,
-                          carve_weight_cap=None
+                          carve_weight_cap=None, carve_margin=None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for :func:`ops.fusion.integrate_tsdf`.
 
@@ -619,7 +628,9 @@ def integrate_tsdf_pencil(tsdf, weights, depth, assoc_weights, rel_rot_oc,
         carve_dist=(None if carve_dist is None
                     else jnp.float32(carve_dist)),
         carve_weight_cap=(None if carve_weight_cap is None
-                          else jnp.float32(carve_weight_cap)))
+                          else jnp.float32(carve_weight_cap)),
+        carve_margin=(None if carve_margin is None
+                      else jnp.float32(carve_margin)))
     if axis != 2:
         t_new = jnp.transpose(t_new, AXIS_UNTRANSPOSE[axis])
         w_new = jnp.transpose(w_new, AXIS_UNTRANSPOSE[axis])

@@ -4,31 +4,49 @@ Production TPU path for ``kernel_updateTSDF``
 (``src/core/cuda/TSDF.cu:327-427``), replacing the jnp ``lax.scan``
 pencil path (``ops/fusion_pencil.py``) whose per-slice one-hot matmul
 gathers run from HBM through XLA at f32 rates — measured 19 ms at 512^3
-on v5e, 13.8% of the HBM roofline (BENCH_r01).
+on v5e, 13.8%% of the HBM roofline (BENCH_r01).
 
-What moves into the kernel (per z-slice program):
-  * the warped reference-plane depth/assoc grids stay **resident in
-    VMEM** across all Z grid steps (constant index map) — no per-slice
-    HBM re-reads;
-  * the one-hot selection matrices are generated **on the fly in VMEM**
-    (iota-vs-index compares, never touching HBM) in bf16 — exact, since
-    0/1 and integer indices < 2^8 are bf16-representable;
-  * the depth grid is pre-split into a hi/lo bf16 pair (hi + lo
-    reconstructs f32 to ~1e-7 relative): two bf16 MXU chains replace
-    one f32 chain at ~4x the f32-HIGHEST MAC rate; the intermediate
-    ``(SB, X)`` product is a pure selection, so its bf16 recast is
-    exact and the second chain is also full-rate bf16;
-  * association values are piecewise smooth in [0, 1]: a single bf16
-    chain on the half-resolution grid suffices;
-  * the fusion elementwise math (projective sdf, truncation, weighted
-    running average, carve/reset rules — identical to
-    ``ops/fusion.integrate_tsdf``) runs on the VPU over the same VMEM
-    block and the tsdf/weight slice read+write streams from HBM overlap
-    the MXU work via the Pallas grid pipeline.
+r5 reformulation (the r2-r4 kernel ran one full-grid one-hot matmul
+chain per z-slice and was MXU-bound at ~1 TFLOP/frame; a whole-slice
+window ladder could not help because a 512-voxel row spans more
+B-columns than the grid has — slope |ka| ~ 2.3 at the bench operating
+point, so the slice footprint IS the grid):
 
-The per-slice lookup coordinates are affine in the voxel index
-(``ja = ka*p + ca``) — the pencil factorization — so each program needs
-only 8 scalars (SMEM) besides the resident grids.
+  * **per-column-tile static windows, branch at program granularity**:
+    a 128-voxel column tile spans only |ka|*127 + 1 B-cells, so a
+    128-aligned window of static width ``WL`` covers it whenever
+    |ka| <= (WL-127)/127 ~ 3.0, and the column-selection matmul
+    contracts over WL instead of LB (896 -> 512 at the reference
+    point). Exactness as in the r3 ladder proof: a window [wl, wl+WL)
+    with wl <= max(lo, 0) and min(hi, LB-1) < wl+WL reproduces the
+    full-grid selection (out-of-range indices select nothing in both
+    paths). The windowed/full decision is ONE ``pl.when`` pair per
+    program — Mosaic treats every predicated region as a scheduling
+    barrier, so per-tile branching costs ~+3 ms at 512^3 (measured);
+    within each region the four tiles are straight-line code whose
+    MXU chains and VPU epilogues the scheduler overlaps (~3.5 ms of
+    measured overlap).
+  * **uniform-association fast path**: single-model / pre-object
+    frames (and the reference's frame-0 unity association,
+    ``EMFusion.cpp:55``) have a constant weight map; a runtime
+    ``lax.cond`` dispatches to a variant with no assoc warp and no
+    assoc selection chains, ``aval == const`` — EXACT (the true
+    per-pixel lookup of a uniform map is the constant; the half-res
+    assoc grid is itself the approximation).
+  * the row-selection one-hots are built once per slice and shared by
+    all column tiles; the epilogue (projective sdf + weighted running
+    average + carve rules, identical to ``ops/fusion.integrate_tsdf``)
+    keeps the pixel-determining ops bit-identical to the XLA path and
+    runs the post-pixel math in cheaper value-mirrored forms
+    (reciprocal-Newton running-average divide, (pix-c)*inv_f rays).
+
+As before: the warped reference-plane depth/assoc grids stay resident
+in VMEM across all Z grid steps (constant index map); the depth grid is
+a hi/lo bf16 pair (exact-selection reconstruction of f32 to ~1e-7
+relative); association resamples at half resolution; the one-hot
+matrices are generated on the fly in VMEM (iota compares, bf16-exact);
+tsdf/weight slices stream from HBM at the storage dtype through the
+Pallas grid pipeline.
 """
 
 from __future__ import annotations
@@ -51,13 +69,9 @@ _BF = jnp.bfloat16
 
 
 def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
-            t_ref, w_ref, to_ref, wo_ref, *scratch,
-            Wimg: int, Himg: int, XB: int, ladder=()):
-    # scratch = (dval_scr, aval_scr) on the windowed path only (the
-    # pl.when rungs need a common landing buffer); the unwindowed path
-    # keeps dval/aval in registers — scratch would push VMEM past the
-    # point where the grid pipeline can double-buffer the volume blocks
-    dval_scr, aval_scr = scratch if scratch else (None, None)
+            t_ref, w_ref, to_ref, wo_ref, *,
+            Wimg: int, Himg: int, XB: int,
+            TC: int, WL: int, WA: int, windowed, skip_assoc: bool):
     f32 = jnp.float32
     z = pl.program_id(0)
     ka, ca = coef_ref[z, 0], coef_ref[z, 1]
@@ -71,24 +85,32 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
     rl, ra = glob_ref[0, 12], glob_ref[0, 13]
     carve = glob_ref[0, 14]      # = trunc for exact reference semantics
     carve_cap = glob_ref[0, 15]  # = inf for exact reference semantics
+    carve_margin = glob_ref[0, 16]  # = -2 caps every carve vote (r4)
 
     Y = t_ref.shape[1]
-    SB, LB = dhi_ref.shape
-    SA, LA = abf_ref.shape
-    x0 = (pl.program_id(1) * XB).astype(f32)
+    SB16, LB = dhi_ref.shape
+    SA16, LA = abf_ref.shape
+    xb0 = (pl.program_id(1) * XB).astype(f32)
 
-    # Mosaic's tpu.iota is integer-only; cast after generating
-    px = lax.broadcasted_iota(jnp.int32, (1, XB), 1).astype(f32) + x0
+    # ---- per-slice row selections (shared by all column tiles) -------
     qy = lax.broadcasted_iota(jnp.int32, (Y, 1), 0).astype(f32)
-
-    ja = ka * px + ca                                     # (1, XB)
     ib = kb * qy + cb                                     # (Y, 1)
-    jaa = (ja + 0.5) * rl - 0.5
     iba = (ib + 0.5) * ra - 0.5
 
+    def onehot_rows_t(n, c):
+        # (Y, n) bf16; row y selects source row floor(c[y]+0.5); rows
+        # past the true grid extent are zero-padded, so a match there
+        # selects 0.0 == the full path's no-match result
+        idx = jnp.floor(c + 0.5)
+        cols = lax.broadcasted_iota(jnp.int32, (c.shape[0], n), 1
+                                    ).astype(f32)
+        return (cols == idx).astype(_BF)
+
+    Ert = onehot_rows_t(SB16, ib)
+    Erta = None if skip_assoc else onehot_rows_t(SA16, iba)
+
+
     def onehot_cols(n, c, off=None):
-        # (n, XB) bf16; column j selects row floor(c[j]+0.5)-off, nothing
-        # if out of range (reproduces fusion_pencil._nearest_matrix)
         idx = jnp.floor(c + 0.5)
         if off is not None:
             idx = idx - off
@@ -96,223 +118,192 @@ def _kernel(coef_ref, glob_ref, dhi_ref, dlo_ref, abf_ref,
                                     ).astype(f32)
         return (rows == idx).astype(_BF)
 
-    def onehot_rows_t(n, c, off=None):
-        # (Y, n) bf16; row y selects source row floor(c[y]+0.5)-off
-        idx = jnp.floor(c + 0.5)
-        if off is not None:
-            idx = idx - off
-        cols = lax.broadcasted_iota(jnp.int32, (c.shape[0], n), 1
-                                    ).astype(f32)
-        return (cols == idx).astype(_BF)
+    prec = lax.Precision.DEFAULT
 
-    def gather_full():
-        Ec = onehot_cols(LB, ja)
-        Ert = onehot_rows_t(SB, ib)
-        tmp_hi = jnp.dot(dhi_ref[:], Ec, preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-        tmp_lo = jnp.dot(dlo_ref[:], Ec, preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-        # tmp_* entries are single selected bf16 values -> recast exact
+    def chain_vals(ja, jaa, wl=None, wa=None):
+        """Column-select + row-select matmul chains -> (dval, aval).
+
+        ``skip_assoc``: uniform association weights — ``aval`` is the
+        constant in glob[0, 13] and the assoc chains are elided. This
+        is EXACT (closer to the reference than the half-res assoc grid:
+        the true per-pixel lookup of a uniform map is the constant)."""
+        if wl is None:
+            Ec = onehot_cols(LB, ja)
+            dh, dl = dhi_ref[:], dlo_ref[:]
+        else:
+            Ec = onehot_cols(WL, ja, wl)
+            wl_i = pl.multiple_of(wl.astype(jnp.int32), 128)
+            dh = dhi_ref[:, pl.ds(wl_i, WL)]
+            dl = dlo_ref[:, pl.ds(wl_i, WL)]
+        tmp_hi = jnp.dot(dh, Ec, preferred_element_type=f32,
+                         precision=prec)
+        tmp_lo = jnp.dot(dl, Ec, preferred_element_type=f32,
+                         precision=prec)
         dval = (jnp.dot(Ert, tmp_hi.astype(_BF),
-                        preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
+                        preferred_element_type=f32, precision=prec)
                 + jnp.dot(Ert, tmp_lo.astype(_BF),
                           preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT))
-        Eca = onehot_cols(LA, jaa)
-        Erta = onehot_rows_t(SA, iba)
-        tmpa = jnp.dot(abf_ref[:], Eca, preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-        aval = jnp.dot(Erta, tmpa.astype(_BF),
-                       preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-        if dval_scr is None:
+                          precision=prec))
+        if skip_assoc:
+            aval = jnp.full((Y, TC), ra, f32)
             return dval, aval
-        dval_scr[:] = dval
-        aval_scr[:] = aval
-        return None
+        if wl is None:
+            Eca = onehot_cols(LA, jaa)
+            ab = abf_ref[:]
+        else:
+            Eca = onehot_cols(WA, jaa, wa)
+            wa_i = pl.multiple_of(wa.astype(jnp.int32), 128)
+            ab = abf_ref[:, pl.ds(wa_i, WA)]
+        tmpa = jnp.dot(ab, Eca, preferred_element_type=f32,
+                       precision=prec)
+        aval = jnp.dot(Erta, tmpa.astype(_BF),
+                       preferred_element_type=f32, precision=prec)
+        return dval, aval
 
-    if not ladder:
-        dval, aval = gather_full()
-    else:
-        # ---- per-program window ladder ------------------------------
-        # The one-hot selection only reads the B-grid rows/cols that the
-        # nearest indices of THIS (z, x-block) program touch. Dynamic-
-        # slicing the smallest fitting window out of the VMEM-resident
-        # grids before the matmul chains cuts the MAC count by the
-        # window ratio (far slices shrink as 1/gamma). Exactness: a
-        # window [s, s+Wn) with s <= max(lo,0) and min(hi, n-1) < s+Wn
-        # reproduces the full-grid selection — in-range indices land in
-        # the window, out-of-range indices select nothing in both paths
-        # (window rows are real grid rows, so an index outside [0,n)
-        # maps outside [0,Wn) after the shift).
-        x1 = x0 + float(XB - 1)
-        ja0, ja1 = ka * x0 + ca, ka * x1 + ca
-        ib0, ib1 = cb, kb * float(Y - 1) + cb
-        jaa0, jaa1 = (ja0 + 0.5) * rl - 0.5, (ja1 + 0.5) * rl - 0.5
-        iba0, iba1 = (ib0 + 0.5) * ra - 0.5, (ib1 + 0.5) * ra - 0.5
+    inv_fx = 1.0 / fx
+    inv_fy = 1.0 / fy
+    inv_trunc = 1.0 / trunc
 
-        def rng(c0, c1):
-            lo = jnp.floor(jnp.minimum(c0, c1) + 0.5)
-            hi = jnp.floor(jnp.maximum(c0, c1) + 0.5)
-            return lo, hi
+    def _epilogue(j, dval, aval, px):
+        # ---- fusion elementwise epilogue (matches integrate_tsdf) ----
+        # pixel-determining math (u, w) keeps the exact op sequence of
+        # the XLA pencil path — a 1-ulp change there can flip the
+        # nearest-pixel selection at half-integer boundaries; the
+        # post-pixel chain uses cheaper but value-mirrored forms
+        # ((pix-c)*inv_f instead of /f, reciprocal-Newton for the
+        # running-average divide — sub-ulp, never feeds a compare that
+        # selects a different pixel).
+        camx = capx0 * px + (capy0 * qy + cc0)
+        camy = capx1 * px + (capy1 * qy + cc1)
+        camz = capx2 * px + (capy2 * qy + cc2)
+        in_front = camz > 0.0
+        zs = jnp.where(in_front, camz, 1.0)
+        u = camx * fx / zs + cx
+        w = camy * fy / zs + cy
+        pix_x = jnp.floor(u + 0.5)
+        pix_y = jnp.floor(w + 0.5)
+        in_frame = ((pix_x >= 0) & (pix_x < Wimg)
+                    & (pix_y >= 0) & (pix_y < Himg))
 
-        jlo, jhi = rng(ja0, ja1)
-        ilo, ihi = rng(ib0, ib1)
-        jalo, jahi = rng(jaa0, jaa1)
-        ialo, iahi = rng(iba0, iba1)
+        valid = in_front & in_frame & (dval > 0.0)
 
-        empty = ((jhi < 0.0) | (jlo > float(LB - 1))
-                 | (ihi < 0.0) | (ilo > float(SB - 1)))
+        ux = (pix_x - cx) * inv_fx
+        uy = (pix_y - cy) * inv_fy
+        # norm_cam / lam as a single sqrt of the ratio (one
+        # transcendental per voxel; same value to ~1 ulp)
+        sdf = dval - jnp.sqrt((camx * camx + camy * camy + camz * camz)
+                              / (ux * ux + uy * uy + 1.0))
 
-        def wstart(lo, n, wn, align):
+        in_band = valid & (sdf >= -trunc)
+        tsdf_meas = jnp.clip(sdf * inv_trunc, -1.0, 1.0)
+        carving = valid & (sdf >= carve)
+        new_w = jnp.where(carving, 1.0, aval)
+
+        # volumes may be stored compressed (bf16) in HBM; math is f32
+        tsl = t_ref[0, :, j * TC:(j + 1) * TC].astype(f32)
+        wsl = w_ref[0, :, j * TC:(j + 1) * TC].astype(f32)
+        # contradiction-gated weight cap (see ops/fusion.integrate_tsdf)
+        capped = carving & (tsdf_meas - tsl > carve_margin)
+        w_eff = jnp.where(capped, jnp.minimum(wsl, carve_cap), wsl)
+        denom = w_eff + new_w
+        do_update = in_band & (denom > 0.0)
+        # one Newton step on the approximate reciprocal: <1 ulp off the
+        # IEEE divide, and denom <= 0 lanes are masked by do_update
+        rd = pl.reciprocal(jnp.maximum(denom, 1e-30), approx=True)
+        rd = rd * (2.0 - denom * rd)
+        fused = (w_eff * tsl + new_w * tsdf_meas) * rd
+        t_out = jnp.where(do_update, fused, tsl)
+        w_out = jnp.where(do_update, jnp.minimum(denom, max_w), wsl)
+
+        carve_unseen = valid & (sdf < -trunc) & (wsl == 0.0)
+        t_out = jnp.where(carve_unseen, -1.0, t_out)
+
+        reset = (wsl == 0.0) & in_frame & in_front & (dval <= 0.0)
+        reset |= (wsl == 0.0) & ~in_front
+        t_out = jnp.where(reset, 0.0, t_out)
+
+        to_ref[0, :, j * TC:(j + 1) * TC] = t_out.astype(to_ref.dtype)
+        wo_ref[0, :, j * TC:(j + 1) * TC] = w_out.astype(wo_ref.dtype)
+
+    if windowed == "program" and WL < LB:
+        # whole-program branch: all tiles windowed, or all full. Two
+        # big predicated regions cost far less than per-tile pl.when
+        # (Mosaic treats each predicated region as a scheduling
+        # barrier; measured +3 ms at 12 regions/program).
+        def wstart_s(lo, n, wn):
             s = jnp.clip(lo, 0.0, float(n - wn))
-            return jnp.floor(s / align) * align
+            return jnp.floor(s / 128.0) * 128.0
 
-        def fits1(lo, hi, n, wn, align):
-            return jnp.minimum(hi, float(n - 1)) < \
-                wstart(lo, n, wn, align) + float(wn)
+        fits_all = None
+        wls, was = [], []
+        for j in range(XB // TC):
+            x0 = xb0 + float(j * TC)
+            ja_0 = ka * x0 + ca
+            ja_1 = ka * (x0 + float(TC - 1)) + ca
+            jlo = jnp.floor(jnp.minimum(ja_0, ja_1) + 0.5)
+            jhi = jnp.floor(jnp.maximum(ja_0, ja_1) + 0.5)
+            jaa_0 = (ja_0 + 0.5) * rl - 0.5
+            jaa_1 = (ja_1 + 0.5) * rl - 0.5
+            jalo = jnp.floor(jnp.minimum(jaa_0, jaa_1) + 0.5)
+            jahi = jnp.floor(jnp.maximum(jaa_0, jaa_1) + 0.5)
+            wl = wstart_s(jlo, LB, WL)
+            wa = wstart_s(jalo, LA, WA)
+            f = jnp.minimum(jhi, float(LB - 1)) < wl + float(WL)
+            if not skip_assoc:
+                f = f & (jnp.minimum(jahi, float(LA - 1))
+                         < wa + float(WA))
+            fits_all = f if fits_all is None else (fits_all & f)
+            wls.append(wl)
+            was.append(wa)
 
-        def fits(rung):
-            sw, lw, saw, law = rung
-            return (fits1(jlo, jhi, LB, lw, 128.0)
-                    & fits1(ilo, ihi, SB, sw, 8.0)
-                    & fits1(jalo, jahi, LA, law, 128.0)
-                    & fits1(ialo, iahi, SA, saw, 8.0))
+        def body(use_window):
+            for j in range(XB // TC):
+                x0 = xb0 + float(j * TC)
+                px = lax.broadcasted_iota(jnp.int32, (1, TC), 1
+                                          ).astype(f32) + x0
+                ja = ka * px + ca
+                jaa = (ja + 0.5) * rl - 0.5
+                if use_window:
+                    dval, aval = chain_vals(ja, jaa, wls[j], was[j])
+                else:
+                    dval, aval = chain_vals(ja, jaa)
+                _epilogue(j, dval, aval, px)
 
-        def gather_win(rung):
-            sw, lw, saw, law = rung
-            wl = wstart(jlo, LB, lw, 128.0)
-            ws = wstart(ilo, SB, sw, 8.0)
-            wla = wstart(jalo, LA, law, 128.0)
-            wsa = wstart(ialo, SA, saw, 8.0)
-            wl_i = pl.multiple_of(wl.astype(jnp.int32), 128)
-            ws_i = pl.multiple_of(ws.astype(jnp.int32), 8)
-            wla_i = pl.multiple_of(wla.astype(jnp.int32), 128)
-            wsa_i = pl.multiple_of(wsa.astype(jnp.int32), 8)
-            Ec = onehot_cols(lw, ja, wl)
-            Ert = onehot_rows_t(sw, ib, ws)
-            dh = dhi_ref[pl.ds(ws_i, sw), pl.ds(wl_i, lw)]
-            dl = dlo_ref[pl.ds(ws_i, sw), pl.ds(wl_i, lw)]
-            tmp_hi = jnp.dot(dh, Ec, preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-            tmp_lo = jnp.dot(dl, Ec, preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-            dval = (jnp.dot(Ert, tmp_hi.astype(_BF),
-                            preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-                    + jnp.dot(Ert, tmp_lo.astype(_BF),
-                              preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT))
-            ab = abf_ref[pl.ds(wsa_i, saw), pl.ds(wla_i, law)]
-            tmpa = jnp.dot(ab, onehot_cols(law, jaa, wla),
-                           preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-            aval = jnp.dot(onehot_rows_t(saw, iba, wsa),
-                           tmpa.astype(_BF), preferred_element_type=f32,
-                   precision=lax.Precision.DEFAULT)
-            dval_scr[:] = dval
-            aval_scr[:] = aval
-
-        conds = []
-        prev_miss = ~empty
-        for rung in ladder:
-            f = fits(rung)
-            conds.append(prev_miss & f)
-            prev_miss = prev_miss & ~f
-        # mutually exclusive: empty / each rung / full fallback
-
-        @pl.when(empty)
+        @pl.when(fits_all)
         def _():
-            dval_scr[:] = jnp.zeros_like(dval_scr)
-            aval_scr[:] = jnp.zeros_like(aval_scr)
+            body(True)
 
-        for cond, rung in zip(conds, ladder):
-            @pl.when(cond)
-            def _(rung=rung):
-                gather_win(rung)
-
-        @pl.when(prev_miss)
+        @pl.when(~fits_all)
         def _():
-            gather_full()
+            body(False)
+        return
 
-        dval = dval_scr[:]
-        aval = aval_scr[:]
-
-    # ---- fusion elementwise math (matches ops/fusion.integrate_tsdf) --
-    camx = capx0 * px + (capy0 * qy + cc0)
-    camy = capx1 * px + (capy1 * qy + cc1)
-    camz = capx2 * px + (capy2 * qy + cc2)
-    in_front = camz > 0.0
-    zs = jnp.where(in_front, camz, 1.0)
-    u = camx * fx / zs + cx
-    w = camy * fy / zs + cy
-    pix_x = jnp.floor(u + 0.5)
-    pix_y = jnp.floor(w + 0.5)
-    in_frame = ((pix_x >= 0) & (pix_x < Wimg)
-                & (pix_y >= 0) & (pix_y < Himg))
-
-    valid = in_front & in_frame & (dval > 0.0)
-
-    ux = (pix_x - cx) / fx
-    uy = (pix_y - cy) / fy
-    # norm_cam / lam as a single sqrt of the ratio (one transcendental
-    # per voxel instead of two; same value to ~1 ulp)
-    sdf = dval - jnp.sqrt((camx * camx + camy * camy + camz * camz)
-                          / (ux * ux + uy * uy + 1.0))
-
-    in_band = valid & (sdf >= -trunc)
-    tsdf_meas = jnp.clip(sdf / trunc, -1.0, 1.0)
-    carving = valid & (sdf >= carve)
-    new_w = jnp.where(carving, 1.0, aval)
-
-    # volumes may be stored compressed (bf16) in HBM; all math is f32
-    tsl = t_ref[0].astype(f32)
-    wsl = w_ref[0].astype(f32)
-    w_eff = jnp.where(carving, jnp.minimum(wsl, carve_cap), wsl)
-    denom = w_eff + new_w
-    do_update = in_band & (denom > 0.0)
-    fused = (w_eff * tsl + new_w * tsdf_meas) / jnp.where(do_update, denom,
-                                                          1.0)
-    t_out = jnp.where(do_update, fused, tsl)
-    w_out = jnp.where(do_update, jnp.minimum(denom, max_w), wsl)
-
-    carve_unseen = valid & (sdf < -trunc) & (wsl == 0.0)
-    t_out = jnp.where(carve_unseen, -1.0, t_out)
-
-    reset = (wsl == 0.0) & in_frame & in_front & (dval <= 0.0)
-    reset |= (wsl == 0.0) & ~in_front
-    t_out = jnp.where(reset, 0.0, t_out)
-
-    to_ref[0] = t_out.astype(to_ref.dtype)
-    wo_ref[0] = w_out.astype(wo_ref.dtype)
+    # straight-line full-width path (windowed in (False, None), or the
+    # grid too small for windows)
+    for j in range(XB // TC):
+        x0 = xb0 + float(j * TC)
+        px = lax.broadcasted_iota(jnp.int32, (1, TC), 1).astype(f32) + x0
+        ja = ka * px + ca                                 # (1, TC)
+        jaa = (ja + 0.5) * rl - 0.5
+        dval, aval = chain_vals(ja, jaa)
+        _epilogue(j, dval, aval, px)
 
 
-def _make_ladder(SB, LB, SA, LA):
-    """Quarter/half window rungs (full grid is the fallback). Sizes are
-    lane/sublane aligned; rungs that don't shrink the grid are dropped."""
-    def rup(v, m):
-        return -(-v // m) * m
-
-    rungs = []
-    for den in (4, 2):
-        rung = (min(rup(max(SB // den, 8), 8), SB),
-                min(rup(max(LB // den, 128), 128), LB),
-                min(rup(max(SA // den, 8), 8), SA),
-                min(rup(max(LA // den, 128), 128), LA))
-        if rung != (SB, LB, SA, LA) and rung not in rungs:
-            rungs.append(rung)
-    return tuple(rungs)
+def _rup(v: int, m: int) -> int:
+    return -(-v // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("SB", "LB", "XB",
-                                             "windowed", "interpret"))
+@functools.partial(jax.jit, static_argnames=("SB", "LB", "XB", "TC",
+                                             "windowed", "interpret",
+                                             "assoc_uniform"))
 def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
                              rel_trans, intr, voxel_size, truncdist,
                              max_weight, carve_dist, carve_weight_cap,
-                             SB: int, LB: int, XB: int,
-                             windowed: bool = False,
-                             interpret: bool = False):
+                             carve_margin,
+                             SB: int, LB: int, XB: int, TC: int = 0,
+                             windowed: bool = True,
+                             interpret: bool = False,
+                             assoc_uniform: bool = False):
     Z, Y, X = tsdf.shape
     H, W = depth.shape
     f32 = jnp.float32
@@ -333,10 +324,27 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
             warp_image_to_grid_pallas)
         warp = warp_image_to_grid_pallas
     D_B = warp(depth, Bmat, H, W, a0, b0, da, db, SB, LB)
-    A_B = warp(assoc, Bmat, H, W, a0, b0, da, db, SA, LA)
+    if assoc_uniform:
+        # aval == the constant everywhere; a (SA16, LA) zero placeholder
+        # keeps the operand list stable (never read by the kernel)
+        A_B = None
+    else:
+        A_B = warp(assoc, Bmat, H, W, a0, b0, da, db, SA, LA)
 
     D_hi, D_lo = _split_bf16(D_B)
-    A_bf = A_B.astype(_BF)
+    # pad sublanes to the bf16 tile (16); padded rows are zero, so a
+    # selection index landing there reproduces the no-match 0.0
+    SB16 = _rup(SB, 16)
+    SA16 = _rup(SA, 16)
+    if SB16 != SB:
+        D_hi = jnp.pad(D_hi, ((0, SB16 - SB), (0, 0)))
+        D_lo = jnp.pad(D_lo, ((0, SB16 - SB), (0, 0)))
+    if assoc_uniform:
+        A_bf = jnp.zeros((SA16, LA), _BF)
+    else:
+        A_bf = A_B.astype(_BF)
+        if SA16 != SA:
+            A_bf = jnp.pad(A_bf, ((0, SA16 - SA), (0, 0)))
 
     gamma = abg[:, 2]
     gsafe = jnp.where(jnp.abs(gamma) < 1e-12, 1e-12, gamma)
@@ -352,34 +360,44 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
                    jnp.asarray(truncdist, f32),
                    jnp.asarray(max_weight, f32),
                    jnp.asarray(LA / LB, f32),
-                   jnp.asarray(SA / SB, f32),
+                   (assoc[0, 0] if assoc_uniform
+                    else jnp.asarray(SA / SB, f32)),
                    jnp.asarray(carve_dist, f32),
-                   jnp.asarray(carve_weight_cap, f32)]),
-    ])[None, :]                                                  # (1, 16)
+                   jnp.asarray(carve_weight_cap, f32),
+                   jnp.asarray(carve_margin, f32),
+                   jnp.float32(0.0)]),
+    ])[None, :]                                                  # (1, 18)
 
     NX = X // XB
     grid = (Z, NX)
-    ladder = _make_ladder(SB, LB, SA, LA) if windowed else ()
+    if windowed is True:
+        windowed = "program"
+    if not TC or XB % TC != 0:
+        TC = 128 if XB % 128 == 0 else XB
+    WL = min(_rup(min(4 * TC, LB), 128), LB)
+    WA = min(_rup(min(3 * TC, LA), 128), LA)
     kern = functools.partial(_kernel, Wimg=W, Himg=H, XB=XB,
-                             ladder=ladder)
+                             TC=TC, WL=WL, WA=WA, windowed=windowed,
+                             skip_assoc=assoc_uniform)
 
     vol_spec = pl.BlockSpec((1, Y, XB), lambda z, j: (z, 0, j),
                             memory_space=pltpu.VMEM)
-    flops = 2 * Z * (2 * (SB * LB * XB + SB * XB * Y)
-                     + (SA * LA * XB + SA * XB * Y)) * NX
+    # approximate: full chains on the window widths (skips make it less)
+    flops = 2 * Z * (2 * (SB16 * WL * XB + SB16 * XB * Y)
+                     + (SA16 * WA * XB + SA16 * XB * Y)) * NX
     t_new, w_new = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((Z, 8), lambda z, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16), lambda z, j: (0, 0),
+            pl.BlockSpec((1, 18), lambda z, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((SB, LB), lambda z, j: (0, 0),
+            pl.BlockSpec((SB16, LB), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB, LB), lambda z, j: (0, 0),
+            pl.BlockSpec((SB16, LB), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SA, LA), lambda z, j: (0, 0),
+            pl.BlockSpec((SA16, LA), lambda z, j: (0, 0),
                          memory_space=pltpu.VMEM),
             vol_spec,
             vol_spec,
@@ -387,13 +405,13 @@ def _integrate_pencil_pallas(tsdf, weights, depth, assoc, rel_rot,
         out_specs=(vol_spec, vol_spec),
         out_shape=(jax.ShapeDtypeStruct((Z, Y, X), tsdf.dtype),
                    jax.ShapeDtypeStruct((Z, Y, X), weights.dtype)),
-        scratch_shapes=([pltpu.VMEM((Y, XB), f32),
-                         pltpu.VMEM((Y, XB), f32)] if ladder else []),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * Z * Y * X * (tsdf.dtype.itemsize
                                             + weights.dtype.itemsize),
             transcendentals=2 * Z * Y * X),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coef, glob, D_hi, D_lo, A_bf, tsdf, weights)
     return t_new, w_new
@@ -404,10 +422,11 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
                                  voxel_size, truncdist, max_weight,
                                  oversample: float = 1.25, grid=None,
                                  axis: int = 2, x_block: int = 0,
-                                 windowed: bool = False,
+                                 windowed: bool = True,
                                  interpret: bool = False,
                                  carve_dist=None,
-                                 carve_weight_cap=None
+                                 carve_weight_cap=None,
+                                 carve_margin=None
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for
     :func:`emfusion_tpu.ops.fusion_pencil.integrate_tsdf_pencil` backed
@@ -415,9 +434,11 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
     assoc values through the pencil warp; exact per-voxel masks), bf16
     hi/lo matmul chains (~1e-7 relative depth error).
 
-    ``x_block``: voxel-x tile per program (0 = whole row). Smaller tiles
-    cut VMEM at unchanged MAC count (the (SB,LB)x(LB,XB) and
-    (Y,SB)x(SB,XB) products tile exactly).
+    ``x_block``: voxel-x block per program (0 = whole row); the kernel
+    additionally tiles each block into 128-voxel column tiles with
+    exact out-of-frustum skips and static-width column windows
+    (``windowed=False`` disables the skip/window logic — bit-identical
+    output, full-grid matmuls; kept for A/B and parity tests).
     """
     # volumes keep their storage dtype (f32 or compressed bf16); the
     # kernel reads/writes that dtype and computes in f32 in VMEM
@@ -437,15 +458,30 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
         rel_rot_oc = rel_rot_oc[:, jnp.asarray(AXIS_COORD[axis], jnp.int32)]
     X = tsdf.shape[2]
     XB = x_block if x_block and X % x_block == 0 else X
-    t_new, w_new = _integrate_pencil_pallas(
-        tsdf, weights, depth, jnp.asarray(assoc_weights, jnp.float32),
-        rel_rot_oc, jnp.asarray(rel_trans_oc), jnp.asarray(intr),
-        jnp.float32(voxel_size), jnp.float32(truncdist),
-        jnp.float32(max_weight),
-        jnp.float32(truncdist if carve_dist is None else carve_dist),
-        jnp.float32(1e30 if carve_weight_cap is None
-                    else carve_weight_cap),
-        SB=SB, LB=LB, XB=XB, windowed=windowed, interpret=interpret)
+    assoc_weights = jnp.asarray(assoc_weights, jnp.float32)
+    args = (tsdf, weights, depth, assoc_weights,
+            rel_rot_oc, jnp.asarray(rel_trans_oc), jnp.asarray(intr),
+            jnp.float32(voxel_size), jnp.float32(truncdist),
+            jnp.float32(max_weight),
+            jnp.float32(truncdist if carve_dist is None else carve_dist),
+            jnp.float32(1e30 if carve_weight_cap is None
+                        else carve_weight_cap),
+            jnp.float32(-2.0 if carve_margin is None else carve_margin))
+    kw = dict(SB=SB, LB=LB, XB=XB, windowed=windowed,
+              interpret=interpret)
+    # uniform-association fast path: single-model / pre-object frames
+    # (and the reference's frame-0 unity association, EMFusion.cpp:55)
+    # have a constant weight map — the assoc warp + selection chains
+    # are elided and aval is the constant, which is EXACT (the true
+    # per-pixel lookup of a uniform map). Runtime-dispatched so the
+    # same jitted step serves both regimes.
+    uniform = jnp.min(assoc_weights) == jnp.max(assoc_weights)
+    t_new, w_new = lax.cond(
+        uniform,
+        lambda a: _integrate_pencil_pallas(*a, assoc_uniform=True, **kw),
+        lambda a: _integrate_pencil_pallas(*a, assoc_uniform=False,
+                                           **kw),
+        args)
     if axis != 2:
         t_new = jnp.transpose(t_new, AXIS_UNTRANSPOSE[axis])
         w_new = jnp.transpose(w_new, AXIS_UNTRANSPOSE[axis])

@@ -8,17 +8,22 @@ warp-back. XLA:TPU lowers the straightforward 537k-element gather to a
 one-hot matmul formulation materializes an (outputs x W) intermediate in
 HBM per row block, which costs nearly as much.
 
-This kernel keeps the source image resident in VMEM (bf16 hi/lo split;
-~1.2 MB for 640x480). Each program produces an (SBK, LBK) output tile;
-the tile's source pixels span a bounded image window (a projective map
-sends a small output rectangle to a small quad), so a dynamic 2-D
-window slice of the smallest fitting ladder rung feeds the selection:
+r5 formulation (the r2-r4 kernel did one (TH,TW)x(TW,LBK) matmul per
+output sub-row — M=TH wasted MXU rows and 16 small dispatches per
+program; measured ~9% of peak, 3.1 ms/frame at the bench point):
 
-  * coords on the VPU from the homography scalars (SMEM);
-  * per output sub-row: column selection Q = window (TH, TW) @ one-hot
-    (TW, LBK) on the MXU (bf16 hi/lo -> ~4e-6 relative);
-  * row selection as an elementwise one-hot multiply + sublane
-    reduction -> a lane-oriented (1, LBK) row, no relayouts.
+  * each program produces an (SBK, LBK) output tile handled as NOUT =
+    SBK*LBK **flattened** outputs; coordinates are generated directly in
+    the flat (NOUT, 1) layout (no relayouts) from the homography
+    scalars;
+  * the tile's source pixels span a bounded image window (a projective
+    map sends a small output rectangle to a small quad); a dynamic 2-D
+    window slice of the smallest fitting ladder rung (TH, TW) feeds
+  * ONE row-selection matmul per bf16 half: (NOUT, TH) one-hot @
+    (TH, TW) window — M=NOUT fills the MXU; then the column selection
+    is an elementwise one-hot multiply + lane reduction on the f32
+    (hi+lo) sum. Selection of hi/lo bf16-split values reconstructs f32
+    exactly (selection never mixes values).
 
 Window ladder misses (extreme poses) fall back to the full image.
 """
@@ -51,47 +56,43 @@ def _warp_kernel(m_ref, hi_ref, lo_ref, out_ref, *, nS: int, nL: int,
     a0, b0, da, db = (m_ref[0, 9], m_ref[0, 10], m_ref[0, 11],
                       m_ref[0, 12])
 
+    NOUT = SBK * LBK
     l0 = pl.program_id(1) * LBK
     s0 = pl.program_id(0) * SBK
-    li = (lax.broadcasted_iota(jnp.int32, (1, LBK), 1) + l0).astype(f32)
+    # flat output index f = s_local * LBK + l_local, generated natively
+    # in the (NOUT, 1) layout: no relayout between coords and one-hots
+    fidx = lax.broadcasted_iota(jnp.int32, (1, NOUT), 1)
+    s_loc = lax.div(fidx, jnp.int32(LBK))
+    l_loc = lax.rem(fidx, jnp.int32(LBK))
+    sv = (s_loc + s0).astype(f32)
+    lv = (l_loc + l0).astype(f32)
     if grid_coords:
         # bit-identical coords to fusion_pencil.warp_image_to_grid: same
         # f32 op order ((l+0.5)/nL*da + a0, then 2-term homography sums)
-        ag = (li + 0.5) / float(nL) * da + a0
+        ag = (lv + 0.5) / float(nL) * da + a0
+        bg = (sv + 0.5) / float(nS) * db + b0
     else:
-        ag = li
-
-    pus, pws, inbs = [], [], []
-    rmin = jnp.asarray(jnp.inf, f32)
-    rmax = jnp.asarray(-jnp.inf, f32)
-    cmin = jnp.asarray(jnp.inf, f32)
-    cmax = jnp.asarray(-jnp.inf, f32)
+        ag = lv
+        bg = sv
+    hu = m00 * ag + m01 * bg + m02
+    hw = m10 * ag + m11 * bg + m12
+    hz = m20 * ag + m21 * bg + m22
+    zs = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
+    ug = hu / zs
+    wg = hw / zs
     off = 0.5 if round_half else 0.0
-    for r in range(SBK):
-        s = (s0 + r).astype(f32)
-        if grid_coords:
-            bg = (s + 0.5) / float(nS) * db + b0
-        else:
-            bg = s
-        hu = m00 * ag + m01 * bg + m02
-        hw = m10 * ag + m11 * bg + m12
-        hz = m20 * ag + m21 * bg + m22
-        zs = jnp.where(jnp.abs(hz) < 1e-12, 1e-12, hz)
-        ug = hu / zs
-        wg = hw / zs
-        pu = jnp.clip(jnp.floor(ug + off), 0.0, W - 1.0)
-        pw = jnp.clip(jnp.floor(wg + off), 0.0, H - 1.0)
-        pus.append(pu)
-        pws.append(pw)
-        if mask_oob:
-            inbs.append((ug > -0.5) & (ug < W - 0.5) & (wg > -0.5)
-                        & (wg < H - 0.5) & (hz > 0.0))
-        else:
-            inbs.append(None)
-        rmin = jnp.minimum(rmin, jnp.min(pw))
-        rmax = jnp.maximum(rmax, jnp.max(pw))
-        cmin = jnp.minimum(cmin, jnp.min(pu))
-        cmax = jnp.maximum(cmax, jnp.max(pu))
+    pu = jnp.clip(jnp.floor(ug + off), 0.0, W - 1.0)       # (1, NOUT)
+    pw = jnp.clip(jnp.floor(wg + off), 0.0, H - 1.0)
+    if mask_oob:
+        inb = ((ug > -0.5) & (ug < W - 0.5) & (wg > -0.5)
+               & (wg < H - 0.5) & (hz > 0.0))
+    else:
+        inb = None
+
+    rmin = jnp.min(pw)
+    rmax = jnp.max(pw)
+    cmin = jnp.min(pu)
+    cmax = jnp.max(pu)
 
     def rstart(TH):
         v = jnp.clip(rmin, 0.0, float(Hp - TH))
@@ -109,21 +110,23 @@ def _warp_kernel(m_ref, hi_ref, lo_ref, out_ref, *, nS: int, nL: int,
             cs_i = pl.multiple_of(cs.astype(jnp.int32), 128)
             tile_hi = hi_ref[pl.ds(rs_i, TH), pl.ds(cs_i, TW)]
             tile_lo = lo_ref[pl.ds(rs_i, TH), pl.ds(cs_i, TW)]
-            col_sub = lax.broadcasted_iota(jnp.int32, (TW, 1), 0
-                                           ).astype(f32)
-            row_sub = lax.broadcasted_iota(jnp.int32, (TH, 1), 0
-                                           ).astype(f32)
-            for r in range(SBK):
-                E2 = (col_sub == (pus[r] - cs)).astype(_BF)  # (TW, LBK)
-                Q = (jnp.dot(tile_hi, E2, preferred_element_type=f32,
-                             precision=lax.Precision.DEFAULT)
-                     + jnp.dot(tile_lo, E2, preferred_element_type=f32,
-                               precision=lax.Precision.DEFAULT))
-                E1 = (row_sub == (pws[r] - rs)).astype(f32)  # (TH, LBK)
-                val = jnp.sum(Q * E1, axis=0, keepdims=True)
-                if inbs[r] is not None:
-                    val = jnp.where(inbs[r], val, 0.0)
-                out_ref[r:r + 1, :] = val
+            # column selection for ALL flat outputs in one matmul:
+            # (TH, TW) @ (TW, NOUT) — contraction TW keeps the MXU fed
+            col_iota = lax.broadcasted_iota(jnp.int32, (TW, NOUT), 0
+                                            ).astype(f32)
+            E2 = (col_iota == (pu - cs)).astype(_BF)
+            Q = (jnp.dot(tile_hi, E2, preferred_element_type=f32,
+                         precision=lax.Precision.DEFAULT)
+                 + jnp.dot(tile_lo, E2, preferred_element_type=f32,
+                           precision=lax.Precision.DEFAULT))
+            # row selection: elementwise one-hot + sublane reduction
+            row_iota = lax.broadcasted_iota(jnp.int32, (TH, NOUT), 0
+                                            ).astype(f32)
+            E1 = (row_iota == (pw - rs)).astype(f32)
+            val = jnp.sum(Q * E1, axis=0, keepdims=True)   # (1, NOUT)
+            if inb is not None:
+                val = jnp.where(inb, val, 0.0)
+            out_ref[:] = val.reshape(SBK, LBK)
         return branch
 
     done = jnp.asarray(False)
@@ -141,9 +144,10 @@ def _warp_kernel(m_ref, hi_ref, lo_ref, out_ref, *, nS: int, nL: int,
 @functools.partial(jax.jit, static_argnames=("nS", "nL", "SBK", "LBK",
                                              "round_half", "mask_oob",
                                              "grid_coords", "interpret"))
-def _warp_pallas(img, M, nS: int, nL: int, SBK: int = 8, LBK: int = 128,
-                 round_half: bool = True, mask_oob: bool = True,
-                 grid_coords: bool = True, interpret: bool = False):
+def _warp_pallas(img, M, nS: int, nL: int, SBK: int = 16,
+                 LBK: int = 128, round_half: bool = True,
+                 mask_oob: bool = True, grid_coords: bool = True,
+                 interpret: bool = False):
     from emfusion_tpu.ops.fusion_pencil import _split_bf16
     f32 = jnp.float32
     H, W = img.shape
@@ -156,8 +160,13 @@ def _warp_pallas(img, M, nS: int, nL: int, SBK: int = 8, LBK: int = 128,
     if (Hp, Wp) != (H, W):
         hi = jnp.pad(hi, ((0, Hp - H), (0, Wp - W)))
         lo = jnp.pad(lo, ((0, Hp - H), (0, Wp - W)))
-    # (rows, cols) window rungs; the full image is always the last rung
-    rungs = [(th, tw) for th, tw in ((16, 256), (64, 384), (128, 512))
+    # (rows, cols) window rungs; the full image is always the last rung.
+    # TH sets the row-select cost and the matmul M; TW sets both the
+    # one-hot compare count (TW x NOUT) and the matmul contraction —
+    # the ladder steps TH finely at the smallest TW that covers a
+    # same-scale warp tile before widening TW (bench hit: (48, 256)).
+    rungs = [(th, tw) for th, tw in ((16, 256), (32, 256), (48, 256),
+                                     (64, 384), (96, 512), (128, 640))
              if th < Hp and tw < Wp]
     rungs.append((Hp, Wp))
     rungs = tuple(rungs)
@@ -182,13 +191,15 @@ def _warp_pallas(img, M, nS: int, nL: int, SBK: int = 8, LBK: int = 128,
         out_specs=pl.BlockSpec((SBK, LBK), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nSp, nLp), f32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(m, hi, lo)
     return out[:nS, :nL]
 
 
 def warp_image_to_grid_pallas(img, Bmat, H: int, W: int, a0, b0, da, db,
-                              nS: int, nL: int, SBK: int = 8,
+                              nS: int, nL: int, SBK: int = 16,
                               interpret: bool = False):
     """Drop-in for :func:`fusion_pencil.warp_image_to_grid` backed by the
     Pallas warp kernel. The B-coord grid spec rides along in the scalar
@@ -209,7 +220,7 @@ def warp_image_to_grid_pallas(img, Bmat, H: int, W: int, a0, b0, da, db,
 
 
 def select_grid_at_pixels_pallas(grid, Binv, a0, b0, da, db,
-                                 H: int, W: int, SBK: int = 8,
+                                 H: int, W: int, SBK: int = 16,
                                  interpret: bool = False):
     """Sweep-raycast warp-back (``ops/raycast_sweep.py``): for every
     pixel, look up the B-grid cell its ray passes through —

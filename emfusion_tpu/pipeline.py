@@ -726,6 +726,9 @@ class EMFusionPipeline:
                       if (bg_carve is not None
                           and p.bg_carve_weight_cap
                           < tsdfp.maxTSDFWeight) else None)
+            bg_margin = (p.bg_carve_margin
+                         if (bg_cap is not None
+                             and p.bg_carve_margin > -2.0) else None)
             if self.mesh is not None and self.mesh.shape["z"] > 1:
                 from emfusion_tpu.distributed.sharded_ops import \
                     integrate_tsdf_pencil_zsharded
@@ -734,7 +737,8 @@ class EMFusionPipeline:
                     state.bg_assoc, rel_bg_oc[:3, :3],
                     rel_bg_oc[:3, 3], intr, bg_voxel, bg_trunc,
                     tsdfp.maxTSDFWeight, bf16=p.matmul_bf16,
-                    carve_dist=bg_carve, carve_weight_cap=bg_cap)
+                    carve_dist=bg_carve, carve_weight_cap=bg_cap,
+                    carve_margin=bg_margin)
             else:
                 kw = ({"axis": bg_axis}
                       if backend in ("pencil", "pallas") else {})
@@ -743,7 +747,8 @@ class EMFusionPipeline:
                     state.bg_assoc, rel_bg_oc[:3, :3],
                     rel_bg_oc[:3, 3], intr, bg_voxel, bg_trunc,
                     tsdfp.maxTSDFWeight, carve_dist=bg_carve,
-                    carve_weight_cap=bg_cap, **kw)
+                    carve_weight_cap=bg_cap, carve_margin=bg_margin,
+                    **kw)
             # preserve the storage dtype (XLA paths compute/return f32)
             bg_t = bg_t.astype(state.bg_tsdf.dtype)
             bg_w = bg_w.astype(state.bg_weights.dtype)

