@@ -464,6 +464,12 @@ def _main(out, wd):
             if fence_ms:
                 out["e2e_phases_fenced_ms"] = {
                     k: round(v, 2) for k, v in fence_ms.items()}
+                # every fence pays one relay round-trip; the cheapest
+                # phase is ~pure RTT — subtract this floor to read
+                # device time per phase. The FIRST phase (preprocess)
+                # additionally absorbs the previous frame's queued tail.
+                out["e2e_fence_rtt_floor_ms"] = round(
+                    min(fence_ms.values()), 2)
             if n_objects < 1:
                 out.setdefault("errors", []).append(
                     "e2e: bench scene object was DELETED mid-run "

@@ -203,6 +203,13 @@ class Params:
     # overflow (weight 0 there); 8192 covers a 180x180-px object at the
     # production escale-2 grid. 0 = evaluate all points (exact path).
     estep_obj_subset: int = 8192
+    # Static per-object LM point budget: each object tracks on its
+    # top-K association-weighted stride-subsampled pixels (pipeline
+    # track_obj subset mode). A near-camera object at 640x480 can
+    # exceed this; the truncation keeps the batched pool LM's shapes
+    # static. Drift vs the full-point LM is gated in
+    # tests/test_accuracy_gate_objects.py. 0 = use every point.
+    obj_track_points: int = 4096
 
     @property
     def intr(self) -> np.ndarray:
@@ -277,7 +284,8 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
     elif key in ("bilateral_kernel_size", "maxTrackingIter", "maskRCNNFrames",
                  "visibilityThresh", "boundary", "max_objects",
                  "raycast_max_steps", "mc_max_verts", "tracking_stride",
-                 "estep_scale", "mask_min_pixels", "estep_obj_subset"):
+                 "estep_scale", "mask_min_pixels", "estep_obj_subset",
+                 "obj_track_points"):
         setattr(params, key, int(v))
     elif hasattr(params, key):
         setattr(params, key, float(v))

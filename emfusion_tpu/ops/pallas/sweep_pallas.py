@@ -255,6 +255,8 @@ def _sweep_call(tsdf, weights, tpt_B, coef, glob, SB: int, LB: int,
             bytes_accessed=NT * Z * Y * X * esize * nfields
             + SB * LB * 4 * (len(out_shape) + (1 if with_pts else 0)),
             transcendentals=NT * Z * SB * LBT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return outs
@@ -283,7 +285,16 @@ def _grid_dims(H, W, oversample, grid):
     return SB, LB
 
 
-def _pick_lbt(LB: int) -> int:
+def _pick_lbt(LB: int, SB: int = 0, with_ray: bool = True) -> int:
+    """Lane-tile width. Full-width (LBT == LB, one tile) streams the
+    volume ONCE instead of LB/LBT times — the sweep is DMA-bound, so
+    this is ~NT-fold less HBM traffic (r4 NOTES lead, unlocked by
+    raising the scoped-VMEM limit: the scratch is ~6 x (SB, LB) f32
+    ~= 13 MB at the reference point, over the 16 MB default cap)."""
+    if SB:
+        scratch_mb = (6 * SB * LB * 4) / 1e6
+        if scratch_mb <= 48.0:
+            return LB
     for lbt in (256, 128):
         if LB % lbt == 0:
             return lbt
@@ -355,7 +366,8 @@ def raycast_sweep_pallas(tsdf_vol, weights_vol, rel_rot_co, rel_trans_co,
         tpt_B = _warp_tpt(tpt_img, Bmat, H, W, a0, b0, da, db, SB, LB,
                           interpret)
     outs = _sweep_call(tsdf_vol, weights_vol, tpt_B, coef, glob,
-                       SB=SB, LB=LB, LBT=_pick_lbt(LB), with_ray=True,
+                       SB=SB, LB=LB, LBT=_pick_lbt(LB, SB, True),
+                       with_ray=True,
                        with_pts=with_pts, interpret=interpret)
     ts_B = outs[0]
     out = sweep_outputs_from_tstar_grid(ts_B, Binv, a0, b0, da, db,
@@ -407,6 +419,7 @@ def sweep_sample_psi_pallas(tsdf_vol, points_cam, rel_rot_co,
     tpt_B = _warp_tpt(tpt_img, Bmat, H, W, a0, b0, da, db, SB, LB,
                       interpret)
     outs = _sweep_call(tsdf_vol, None, tpt_B, coef, glob, SB=SB, LB=LB,
-                       LBT=_pick_lbt(LB), with_ray=False, with_pts=True,
+                       LBT=_pick_lbt(LB, SB, False), with_ray=False,
+                       with_pts=True,
                        interpret=interpret)
     return warp_grid_to_pixels(outs[0], Binv, a0, b0, da, db, H, W)

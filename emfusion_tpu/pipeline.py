@@ -386,8 +386,10 @@ class EMFusionPipeline:
         stride = p.tracking_stride
         if stride == 0:
             stride = 1 if jax.default_backend() in ("cpu",) else 3
-        # static per-object LM point budget (subset mode, see track_obj)
-        OBJ_TRACK_POINTS = 4096
+        # static per-object LM point budget (subset mode, see track_obj);
+        # Params.obj_track_points, 0 = all points
+        OBJ_TRACK_POINTS = p.obj_track_points if p.obj_track_points > 0 \
+            else (1 << 30)
 
         def _track_pts(points, assoc):
             """Subsampled tracking points + matching association weights."""

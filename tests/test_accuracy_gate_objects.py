@@ -177,3 +177,116 @@ def test_resize_exercised_and_survived(growing_runs):
     assert rp, "no resize on the production path"
     assert pe.active_object_ids, "exact path lost the object after resize"
     assert pp.active_object_ids, "prod path lost the object after resize"
+
+
+# -------- r5 gates: LM point-budget truncation + E-step culling -------
+# (VERDICT r4 weak #6/#7: both mechanisms already produced one silent
+# kill-class bug each and were covered only by the stress leg's
+# survival count)
+
+def _big_object_sequence(n_frames=6):
+    """A close, large sphere whose stride-subsampled footprint exceeds
+    the LM point budget used in the gates below."""
+    scene = SyntheticScene(
+        H=120, W=160, f=130.0, floor_y=0.75,
+        bg_spheres=((np.array([-0.45, 0.05, 1.3]), 0.35),
+                    (np.array([0.5, -0.3, 1.5]), 0.3)),
+        obj_sphere_r=0.26)
+    frames, masks, obj_x = [], {}, {}
+    for i in range(n_frames):
+        th = 0.008 * i
+        c, s = np.cos(th), np.sin(th)
+        cam = np.array([[c, 0, s, 0.014 * i],
+                        [0, 1, 0, -0.008 * i],
+                        [-s, 0, c, 0.004 * i],
+                        [0, 0, 0, 1]], np.float32)
+        obj_c = np.array([0.05 + OBJ_DX * i, 0.10, 0.95])
+        depth, mask = scene.render(cam, obj_c)
+        frames.append(depth)
+        masks[i] = mask
+        obj_x[i] = obj_c[0]
+    return scene, frames, masks, obj_x
+
+
+def test_subset_lm_drift_at_overflowing_footprint():
+    """The batched object LM tracks on the top-K association-weighted
+    stride pixels (Params.obj_track_points; production 4096). With a
+    footprint ~4x the budget, the truncated LM's final object pose must
+    stay within 2 object voxels of the full-point LM — pins the
+    truncation branch and the two-stage fixed-cache schedule that the
+    object gates (2.1k-point scenes) never reach."""
+    scene, frames, masks, _ = _big_object_sequence()
+    budget = 192
+    # footprint: mask pixels at the PROD stride (3)
+    fp = int(masks[1][::3, ::3].sum())
+    assert fp > budget, (fp, budget)
+
+    over = dict(PROD, objVolumeDims=(32, 32, 32), maskRCNNFrames=100,
+                visibilityThresh=60, mask_min_pixels=60, volPad=1.0,
+                matchIOUThresh=0.05, maxTrackingIter=50,
+                globalVolumeDims=(96, 96, 96),
+                globalVoxelSize=2.56 / 96, volumePose=(0.0, 0.0, 1.28),
+                frameSize=(scene.W, scene.H), fx=scene.f, fy=scene.f,
+                cx=scene.W / 2 - 0.5, cy=scene.H / 2 - 0.5)
+    _, t_full, _ = _run(scene, frames, masks,
+                        **dict(over, obj_track_points=0))
+    p_sub, t_sub, _ = _run(scene, frames, masks,
+                           **dict(over, obj_track_points=budget))
+    assert p_sub.active_object_ids, "object lost under LM truncation"
+    voxel = float(np.asarray(p_sub.state.objs.voxel_size)[0])
+    common = sorted(set(t_full) & set(t_sub))
+    assert common
+    worst = max(np.linalg.norm(t_full[f][:3, 3] - t_sub[f][:3, 3])
+                for f in common)
+    assert worst < 2.0 * voxel, (worst, voxel)
+
+
+def test_culled_estep_matches_uncull_at_overflow():
+    """The bbox-culled object E-step (Params.estep_obj_subset) vs the
+    uncull path at a budget-overflowing footprint (VERDICT r4 weak #7;
+    the raster-order top_k bug deleted 3/16 stress objects in r4):
+    every point the culled path evaluates must carry the uncull path's
+    weight, and the kept/dropped split must be center-ordered
+    (raster-order keeps the bbox's top rows instead — in this fully
+    observed scene every in-bbox point carries weight, so ordering is
+    the whole story).
+
+    Poses are frozen (maxTrackingIter=0) and only two frames run, so
+    the stored post-track association images are computed from
+    identical states in both runs."""
+    scene, frames, masks, _ = _big_object_sequence(n_frames=2)
+    over = dict(PROD, objVolumeDims=(32, 32, 32), maskRCNNFrames=100,
+                visibilityThresh=60, mask_min_pixels=60, volPad=2.0,
+                matchIOUThresh=0.05, maxTrackingIter=0,
+                globalVolumeDims=(96, 96, 96),
+                globalVoxelSize=2.56 / 96, volumePose=(0.0, 0.0, 1.28),
+                frameSize=(scene.W, scene.H), fx=scene.f, fy=scene.f,
+                cx=scene.W / 2 - 0.5, cy=scene.H / 2 - 0.5)
+    p_full, _, _ = _run(scene, frames, masks,
+                        **dict(over, estep_obj_subset=0))
+    assert p_full.active_object_ids
+    a_full = np.asarray(p_full.state.objs.assoc, np.float32)
+    k = int(np.argmax(np.asarray(p_full._h_ids) > 0))
+    af = a_full[k]
+    full = af > 0
+    n_pos_grid = int(np.ceil(full.sum() / 4))   # escale-2 grid points
+
+    budget = max(n_pos_grid // 3, 64)
+    assert budget < n_pos_grid, (budget, n_pos_grid)
+    p_b, _, _ = _run(scene, frames, masks,
+                     **dict(over, estep_obj_subset=budget))
+    ab = np.asarray(p_b.state.objs.assoc, np.float32)[k]
+    kept = ab > 0
+    assert 0 < kept.sum() < full.sum(), (int(kept.sum()),
+                                         int(full.sum()))
+    # every evaluated point carries the uncull path's weight (few-ulp
+    # slack: the subset path samples gathered points, so XLA fuses the
+    # bf16 trilinear chain differently)
+    np.testing.assert_allclose(ab[kept], af[kept], rtol=1e-3, atol=1e-5)
+    # center-priority ordering of the kept/dropped split
+    yy, xx = np.nonzero(full)
+    cy_, cx_ = yy.mean(), xx.mean()
+    d = np.hypot(yy - cy_, xx - cx_)
+    kept_d = d[kept[full]]
+    drop_d = d[~kept[full]]
+    assert kept_d.mean() < drop_d.mean(), (kept_d.mean(), drop_d.mean())
