@@ -595,6 +595,10 @@ def bench_e2e(res: int, log):
     t0 = _time.perf_counter()
     for f in range(n_warm, n_meas):
         pipe.process_frame(None, frames[f])
+        if f + 1 < n_frames:
+            # overlap the next frame's H2D depth upload with this
+            # frame's queued device work (~27 ms at relay H2D rates)
+            pipe.prefetch_depth(frames[f + 1])
     float(np.asarray(pipe.state.bg_tsdf[0, 0, 0]))
     dt = (_time.perf_counter() - t0) / (n_meas - n_warm)
     n_objects = len(pipe.active_object_ids)

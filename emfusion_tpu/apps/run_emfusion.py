@@ -152,9 +152,15 @@ def main(argv=None):
     n = 0
     frame_times = []
     try:
-        for frame in reader.frames():
-            if frame.index < skip_until:
-                continue
+        # one-frame lookahead so the next depth's host->device upload
+        # overlaps the current frame's queued device work (reference
+        # analogue: the reader thread keeps I/O off the frame loop,
+        # RGBDReader.cpp:72-117; on a tunneled device the H2D copy is
+        # the same class of off-loop work)
+        stop = False
+
+        def do_frame(frame):
+            nonlocal n, stop
             t_f = time.time()
             pipe.process_frame(frame.rgb, frame.depth,
                                timestamp=frame.timestamp)
@@ -180,7 +186,21 @@ def main(argv=None):
                       f"{fps:.2f} fps  objects={pipe.active_object_ids}",
                       flush=True)
             if args.frames and n >= args.frames:
-                break
+                stop = True
+
+        pending = None
+        for nxt in reader.frames():
+            if nxt.index < skip_until:
+                continue
+            if pending is not None:
+                pipe.prefetch_depth(nxt.depth)
+                do_frame(pending)
+                if stop:
+                    pending = None
+                    break
+            pending = nxt
+        if pending is not None and not stop:
+            do_frame(pending)
     finally:
         reader.close()
         if args.profile:

@@ -155,14 +155,30 @@ def write_frame_meshes(pipe, path: str, frame: int,
             write_ply(fp, verts, norms, tris)
 
     import jax.numpy as jnp
-    if objects_only:
+    def emit_objects():
+        # pool-packed extraction: ONE jitted program + two device->host
+        # fetches for ALL objects (each np.asarray costs a full relay
+        # round trip; the per-object loop made the 16-object stress
+        # leg fetch-RTT-bound — ops/marching_cubes.extract_pool_meshes)
+        from emfusion_tpu.ops.marching_cubes import extract_pool_meshes
         o = pipe.state.objs
-        for oid in pipe.active_object_ids:
-            k = pipe._slot_of(oid)
-            mask = (o.weights[k] > 0) & (_fgp(o.fg_counts[k]) > 0.5)
-            v2, n2, t2 = extract_mesh(o.tsdf[k], o.grads[k], mask,
-                                      float(np.asarray(o.voxel_size[k])))
+        active_slots = [(oid, pipe._slot_of(oid))
+                        for oid in pipe.active_object_ids]
+        if not active_slots:
+            return
+        import jax.numpy as _jnp
+        import jax as _jax
+        mask_pool = (o.weights > 0) \
+            & (_jax.vmap(_fgp)(o.fg_counts) > 0.5) \
+            & o.active[:, None, None, None]
+        meshes = extract_pool_meshes(o.tsdf, o.grads, mask_pool,
+                                     o.voxel_size)
+        for oid, k in active_slots:
+            v2, n2, t2 = meshes[k]
             emit(f"mesh_{oid}_{frame:04d}.ply", v2, n2, t2)
+
+    if objects_only:
+        emit_objects()
         if writer is not None:
             writer.wait()
             writer.close()
@@ -192,13 +208,7 @@ def write_frame_meshes(pipe, path: str, frame: int,
             float(pipe.params.globalVoxelSize),
             max_verts=pipe.params.mc_max_verts)
     emit(f"mesh_bg_{frame:04d}.ply", verts, norms, tris)
-    o = pipe.state.objs
-    for oid in pipe.active_object_ids:
-        k = pipe._slot_of(oid)
-        mask = (o.weights[k] > 0) & (_fgp(o.fg_counts[k]) > 0.5)
-        v2, n2, t2 = extract_mesh(o.tsdf[k], o.grads[k], mask,
-                                  float(np.asarray(o.voxel_size[k])))
-        emit(f"mesh_{oid}_{frame:04d}.ply", v2, n2, t2)
+    emit_objects()
     if writer is not None:
         writer.wait()
         writer.close()

@@ -508,32 +508,16 @@ def extract_mesh_sparse(tsdf, mask, voxel_size,
             z0f, zc=zcb, m_cap=m_cap, v_cap=v_cap, t_cap=t_cap)
         return (z0, ov, zcb) + outs
 
-    results = {}                 # z0 -> (verts, norms, tris_local)
-
-    def consume(pend, jobs):
-        z0, ov, zcb, verts_b, norms_b, tris_b, counts = pend
-        m, nv, nt = (int(c) for c in np.asarray(counts))
-        if m > m_cap or nv > v_cap or nt > t_cap:
-            if zcb < 8:
-                raise ValueError(
-                    f"band [{z0}, {z0 + zcb}) overflows the sparse-MC "
-                    f"caps ({m} cubes / {nv} verts / {nt} tris); raise "
-                    f"m_cap")
-            half = zcb // 2
-            jobs.append((z0, min(ov, half), half))
-            # cube layers [z0+half, z0+ov) were already emitted by the
-            # previous band when ov > half -- the second half inherits
-            # the residual overlap (ADVICE r4: dropping it duplicated
-            # those layers' vertices/triangles).
-            jobs.append((z0 + half, max(ov - half, 0), zcb - half))
-            return
-        if nv == 0:
-            return
-        # these fetches overlap the NEXT band's device compute (the
-        # band loop dispatches before consuming)
-        results[z0] = (np.asarray(verts_b[:nv]),
-                       np.asarray(norms_b[:nv]).astype(np.float32),
-                       np.asarray(tris_b[:nt]).astype(np.int64))
+    # Round-structured dispatch (r5): on a tunneled device every
+    # blocking fetch costs a full round trip (~25-30 ms), and the r4
+    # one-band-lookahead loop paid ~4 of them per band (~128 RTTs at
+    # 512^3/32 bands — most of the 6 s export). Now ALL bands of a
+    # round dispatch back-to-back, their counts come home in ONE
+    # stacked fetch, overflowing bands split into the next round, and
+    # the payload is concatenated ON DEVICE (host-known counts slice
+    # each band first) so the final result needs 3 fetches total.
+    results = {}                 # z0 -> (verts_dev, norms_dev,
+                                 #        tris_dev, nv, nt)
 
     jobs = deque()
     next_cube = 0
@@ -542,29 +526,128 @@ def extract_mesh_sparse(tsdf, mask, voxel_size,
         jobs.append((z0, next_cube - z0, zc))
         next_cube = z0 + zc
 
-    pending = None
-    while jobs or pending is not None:
-        nxt = dispatch(*jobs.popleft()) if jobs else None
-        if pending is not None:
-            consume(pending, jobs)
-        pending = nxt
+    while jobs:
+        batch = [dispatch(*j) for j in jobs]
+        jobs = deque()
+        counts_all = np.asarray(jnp.stack([b[6] for b in batch]))
+        for (z0, ov, zcb, verts_b, norms_b, tris_b, _), cnts in zip(
+                batch, counts_all):
+            m, nv, nt = (int(c) for c in cnts)
+            if m > m_cap or nv > v_cap or nt > t_cap:
+                if zcb < 8:
+                    raise ValueError(
+                        f"band [{z0}, {z0 + zcb}) overflows the "
+                        f"sparse-MC caps ({m} cubes / {nv} verts / "
+                        f"{nt} tris); raise m_cap")
+                half = zcb // 2
+                jobs.append((z0, min(ov, half), half))
+                # cube layers [z0+half, z0+ov) were already emitted by
+                # the previous band when ov > half -- the second half
+                # inherits the residual overlap (ADVICE r4: dropping it
+                # duplicated those layers' vertices/triangles).
+                jobs.append((z0 + half, max(ov - half, 0), zcb - half))
+                continue
+            if nv == 0:
+                continue
+            results[z0] = (verts_b, norms_b, tris_b, nv, nt)
 
     for z0 in sorted(results):
-        v, n, t = results[z0]
-        vs_list.append(v)
-        ns_list.append(n)
-        ts_list.append(t + vofs)
-        vofs += len(v)
+        v, n, t, nv, nt = results[z0]
+        vs_list.append(v[:nv])
+        ns_list.append(n[:nv])
+        ts_list.append(t[:nt].astype(jnp.int32) + jnp.int32(vofs))
+        vofs += nv
 
     if not vs_list:
         return (np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.int32))
-    verts = np.concatenate(vs_list)
-    norms = np.concatenate(ns_list)
-    tris = np.concatenate(ts_list).astype(np.int64)
+    verts = np.asarray(jnp.concatenate(vs_list))
+    norms = np.asarray(jnp.concatenate(ns_list).astype(jnp.float32))
+    tris = np.asarray(jnp.concatenate(ts_list)).astype(np.int64)
     if len(verts) > max_verts or len(tris) > max_tris:
         verts = verts[:max_verts]
         norms = norms[:max_verts]
         tris = tris[np.all(tris < max_verts, axis=1)][:max_tris]
     return verts, norms, tris.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_verts", "max_tris"))
+def _pack_pool_meshes(tsdf_pool, grads_pool, mask_pool, voxel_sizes,
+                      max_verts: int, max_tris: int):
+    """Marching cubes over an object POOL with device-side packing.
+
+    Runs the per-slot extraction (static unroll over the pool) and
+    compacts every slot's valid vertices/normals/triangles into one
+    contiguous buffer with per-slot offsets, so the host fetches the
+    WHOLE pool's meshes in a single sliced device->host copy. On a
+    tunneled device each ``np.asarray`` costs a full round trip
+    (~25-30 ms); the per-object loop paid 3 fetches x K objects per
+    frame — the 16-object stress leg spent more time on fetch RTTs
+    than on the entire SLAM frame (r5 measurement).
+
+    Returns (verts (K*max_verts, 3), norms, tris (K*max_tris, 3),
+    counts (K, 2) int32 [num_verts, num_tris]); slot k's rows start at
+    offset[k] = cumsum of previous slots' counts, and triangles are
+    already rebased to the packed vertex numbering.
+    """
+    K = tsdf_pool.shape[0]
+    vcap = K * max_verts
+    tcap = K * max_tris
+    verts = jnp.zeros((vcap, 3), jnp.float32)
+    norms = jnp.zeros((vcap, 3), jnp.float32)
+    tris = jnp.zeros((tcap, 3), jnp.int32)
+    counts = []
+    voff = jnp.int32(0)
+    toff = jnp.int32(0)
+    for k in range(K):
+        out = marching_cubes(tsdf_pool[k].astype(jnp.float32),
+                             grads_pool[k].astype(jnp.float32),
+                             mask_pool[k], voxel_sizes[k],
+                             max_verts=max_verts, max_tris=max_tris)
+        nv = out["num_verts"].astype(jnp.int32)
+        nt = out["num_tris"].astype(jnp.int32)
+        # zero the unused tail so the packed scatter stays clean, then
+        # deposit at the running offsets
+        ri = jax.lax.broadcasted_iota(jnp.int32, (max_verts, 1), 0)
+        vk = jnp.where(ri < nv, out["vertices"], 0.0)
+        nk = jnp.where(ri < nv, out["normals"], 0.0)
+        ti = jax.lax.broadcasted_iota(jnp.int32, (max_tris, 1), 0)
+        tk = jnp.where(ti < nt, out["triangles"] + voff, 0)
+        verts = jax.lax.dynamic_update_slice(verts, vk, (voff, 0))
+        norms = jax.lax.dynamic_update_slice(norms, nk, (voff, 0))
+        tris = jax.lax.dynamic_update_slice(tris, tk, (toff, 0))
+        counts.append(jnp.stack([nv, nt]))
+        voff = voff + nv
+        toff = toff + nt
+    return verts, norms, tris, jnp.stack(counts)
+
+
+def extract_pool_meshes(tsdf_pool, grads_pool, mask_pool, voxel_sizes,
+                        max_verts_per_obj: int = 0):
+    """Host wrapper for :func:`_pack_pool_meshes`: two device fetches
+    total (counts, then the packed slice) regardless of pool size.
+
+    Returns a list of (verts, norms, tris) numpy triples per slot (the
+    caller filters inactive/empty slots)."""
+    K, R = tsdf_pool.shape[0], int(tsdf_pool.shape[1])
+    mv = max_verts_per_obj or 8 * R * R
+    v, n, t, c = _pack_pool_meshes(
+        jnp.asarray(tsdf_pool), jnp.asarray(grads_pool),
+        jnp.asarray(mask_pool), jnp.asarray(voxel_sizes),
+        max_verts=mv, max_tris=2 * mv)
+    c = np.asarray(c)                       # fetch 1: per-slot counts
+    tot_v = int(c[:, 0].sum())
+    tot_t = int(c[:, 1].sum())
+    vh = np.asarray(v[:tot_v])              # fetch 2: packed payload
+    nh = np.asarray(n[:tot_v])
+    th = np.asarray(t[:tot_t])
+    outs = []
+    vo = to = 0
+    for k in range(K):
+        nv, nt = int(c[k, 0]), int(c[k, 1])
+        outs.append((vh[vo:vo + nv], nh[vo:vo + nv],
+                     th[to:to + nt] - vo))
+        vo += nv
+        to += nt
+    return outs

@@ -142,6 +142,8 @@ def _band_call(tsdf, weights, bstart_f, coef, SB: int, LB: int,
             flops=2 * NT * Z * 2 * (Y * X * LBT + SB * Y * LBT),
             bytes_accessed=NT * Z * Y * X * esize * 2,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coef, bstart_f, tsdf, weights)
 
@@ -397,9 +399,17 @@ def band_capture_pallas(vols, points_cam, rel_rot, rel_trans,
     coef = jnp.stack([kx, cx, ky, cy] + [jnp.zeros_like(kx)] * 4,
                      axis=1).astype(f32)
 
-    lbt = LB if LB <= 384 else 256
-    while LB % lbt != 0:
-        lbt //= 2
+    # full-width band build streams the volume ONCE instead of LB/LBT
+    # times (the build is DMA-bound; same r5 lever as sweep_pallas).
+    # The resident (BAND, SB, LBT) bf16 band pair is ~43 MB at the
+    # reference point — fits the raised scoped-VMEM limit.
+    band_mb = 2 * BAND * SB * LB * 2 / 1e6
+    if band_mb <= 60.0:
+        lbt = LB
+    else:
+        lbt = LB if LB <= 384 else 256
+        while LB % lbt != 0:
+            lbt //= 2
     band_t, band_w = _band_call(vols[0], vols[1], bstart_f, coef,
                                 SB=SB, LB=LB, LBT=lbt,
                                 interpret=interpret)

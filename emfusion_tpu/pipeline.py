@@ -1043,6 +1043,20 @@ class EMFusionPipeline:
     # ------------------------------------------------------------------
     # host-side frame processing
     # ------------------------------------------------------------------
+    def prefetch_depth(self, depth_raw: np.ndarray) -> None:
+        """Start the NEXT frame's host->device depth upload now, so it
+        overlaps this frame's queued device work (the upload is the
+        single largest fixed host cost per frame on a tunneled device —
+        ~27 ms at the relay's ~45 MB/s for 640x480 f32). The next
+        ``process_frame`` call picks the buffer up when its depth is
+        the same array object; callers that never prefetch are
+        unaffected."""
+        import jax as _jax
+        # hold the host array itself (not just id()) so the identity
+        # test below cannot alias a recycled id
+        self._prefetched = (depth_raw,
+                            _jax.device_put(np.asarray(depth_raw)))
+
     def process_frame(self, rgb: Optional[np.ndarray],
                       depth_raw: np.ndarray,
                       timestamp: Optional[float] = None) -> None:
@@ -1050,8 +1064,14 @@ class EMFusionPipeline:
         self._consume_pending()    # previous frame's deferred summary
         if timestamp is not None:
             self.timestamps[self.frame] = float(timestamp)
+        pf = getattr(self, "_prefetched", None)
+        if pf is not None and pf[0] is depth_raw:
+            depth_dev = pf[1]
+            self._prefetched = None
+        else:
+            depth_dev = jnp.asarray(depth_raw)
         with self.timer.phase("preprocess"):
-            depth, points = self._preprocess(jnp.asarray(depth_raw))
+            depth, points = self._preprocess(depth_dev)
 
         rc = None
         self._frame_spawned = []

@@ -98,6 +98,8 @@ def run_stress(log=print, with_mesh_export=True):
     n_meas = 6
     for f in range(4, 4 + n_meas):
         pipe.process_frame(None, frames[f])
+        if f + 1 < len(frames):
+            pipe.prefetch_depth(frames[f + 1])
         if with_mesh_export:
             write_frame_meshes(pipe, d, pipe.frame, objects_only=True)
     pipe.flush()
