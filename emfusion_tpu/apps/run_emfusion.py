@@ -117,6 +117,17 @@ def main(argv=None):
     if os.path.exists(calib):
         params = load_calibration(calib, params)
     reader.init()
+    # frame size comes from the DATA, not the config default (the
+    # reference reads cv::Mat sizes from the stream; a config/dataset
+    # mismatch here used to crash the first reshape)
+    probe = reader.peek() if hasattr(reader, "peek") else None
+    if probe is not None:
+        dh, dw = probe.depth.shape[:2]
+        if (dw, dh) != tuple(params.frameSize):
+            print(f"frameSize {tuple(params.frameSize)} -> dataset "
+                  f"({dw}, {dh})")
+            import dataclasses as _dc
+            params = _dc.replace(params, frameSize=(dw, dh))
 
     provider = ReplayMaskProvider(args.maskdir) if args.maskdir else None
     # multi-device runs: build the (obj, z) mesh and shard the pipeline

@@ -210,6 +210,16 @@ class Params:
     # static. Drift vs the full-point LM is gated in
     # tests/test_accuracy_gate_objects.py. 0 = use every point.
     obj_track_points: int = 4096
+    # Camera-LM exact-refinement subset (TrackConfig.refine_points):
+    # after the banded capture LM converges, re-run a few iterations on
+    # the top-K points with exact gathered voxel values (~10-30
+    # ms/frame on TPU at 512^3). Default OFF: measured r5, the
+    # subset-LM optimum scatters with K (gate ATE ratio vs the exact
+    # path: 0.81x at K=512, 1.77x at 1536, 2.67x at 256) — a few
+    # hundred exact points do not pin the 6-DoF optimum more
+    # reproducibly than 34k band-resampled ones. Kept as an option for
+    # full-point exact refinement on small scenes.
+    camera_refine_points: int = 0
 
     @property
     def intr(self) -> np.ndarray:
@@ -285,7 +295,7 @@ def _parse_value(params: Params, tsdf: TSDFParams, section: str, key: str,
                  "visibilityThresh", "boundary", "max_objects",
                  "raycast_max_steps", "mc_max_verts", "tracking_stride",
                  "estep_scale", "mask_min_pixels", "estep_obj_subset",
-                 "obj_track_points"):
+                 "obj_track_points", "camera_refine_points"):
         setattr(params, key, int(v))
     elif hasattr(params, key):
         setattr(params, key, float(v))

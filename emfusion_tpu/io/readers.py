@@ -126,6 +126,15 @@ class _BufferedReader:
         self._thread.start()
         self._consumed = 0
 
+    def peek(self):
+        """Read frame 0 without consuming the stream (frame-size /
+        format probing). Uses the direct per-frame reader, not the
+        prefetch queue."""
+        try:
+            return self._read_frame(0)
+        except Exception:
+            return None
+
     def more_frames(self) -> bool:
         return self._consumed < self.num_frames
 

@@ -151,7 +151,8 @@ class EMFusionPipeline:
             max_tsdf_weight=params.tsdfParams.maxTSDFWeight,
             max_iter=params.maxTrackingIter,
             sampler=os.environ.get("EMF_TRACK_SAMPLER", "auto"),
-            capture_backend=params.capture_backend)
+            capture_backend=params.capture_backend,
+            refine_points=params.camera_refine_points)
         self.colormap = make_colormap()
 
         # background volume storage dtype (bf16 halves the HBM traffic of

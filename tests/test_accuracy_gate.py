@@ -96,22 +96,21 @@ def trajectories(sequence):
 
 
 def test_production_defaults_close_to_exact_path(trajectories):
-    """Per-frame bound: the r3 banded capture adds a bounded per-frame
-    deviation on top of the r2 shortcuts (dropped grazing/discontinuity
-    pixels + in-plane resample smoothing, geometry/band_capture.py);
-    the r2 bound was 0.75 voxel with the exact per-point gather; the
-    band holds ~1.6 voxel worst-frame on this sequence, and the r4
-    bg free-space carving (both paths carve; the prod path's bf16/band
-    differences compound through the replaced free-space values) moves
-    the worst frame to a DETERMINISTIC 2.13 voxels (bit-identical
-    across runs). The trajectory-level ATE gate below is the
-    BASELINE-aligned acceptance; this per-frame bound is a regression
-    tripwire."""
+    """Per-frame (UNALIGNED) bound, re-TIGHTENED r5 (VERDICT r4 next
+    #3): the carve contradiction margin (Params.bg_carve_margin) cut
+    the r4 deterministic 2.13-voxel worst frame to 1.82 — the r4 cap
+    replaced agreeing free-space shell values with single noisy
+    measurements each frame, and the prod path's bf16/band rounding
+    compounded through them. Bound 2.5 -> 2.0 voxels. (Most of the
+    raw distance is a shared trajectory offset that Horn alignment
+    removes — the aligned ATE below is 2-4 mm against 20 mm voxels;
+    exact-subset refinement experiments and their measured
+    instability are in NOTES_R5.)"""
     exact, prod, _ = trajectories
     voxel = 0.02
     for f in exact:
         dt = np.linalg.norm(exact[f][:3, 3] - prod[f][:3, 3])
-        assert dt < 2.5 * voxel, (f, dt)
+        assert dt < 2.0 * voxel, (f, dt)
 
 
 def test_production_defaults_ate_bound(trajectories):
@@ -126,10 +125,12 @@ def test_production_defaults_ate_bound(trajectories):
     voxel = 0.02
     assert r_exact["rmse"] < voxel, r_exact
     assert r_prod["rmse"] < voxel, r_prod
-    # r2 bound was 1.05x + 2 mm with the exact per-point gather; the
-    # banded capture's dropped-pixel deviation widens it to 1.5x + 2 mm
-    # on this synthetic sequence (band ~1.4x today). Tightening back is
-    # tracked in NOTES_R3; capture_backend="gather" restores the exact
-    # sampler at ~140 ms/capture.
-    assert r_prod["rmse"] <= 1.5 * r_exact["rmse"] + 0.002, \
+    # r2 bound was 1.05x + 2 mm with the exact per-point gather; r3-r4
+    # held 1.5x + 2 mm; r5 re-tightens to 1.35x + 2 mm (measured 1.28x
+    # after the carve contradiction margin; the VERDICT r4 1.2x target
+    # and the exact-refinement attempts at it are a measured negative
+    # result, NOTES_R5).
+    assert r_prod["rmse"] <= 1.35 * r_exact["rmse"] + 0.002, \
         (r_prod["rmse"], r_exact["rmse"])
+    # absolute bound: production ATE stays under a quarter voxel
+    assert r_prod["rmse"] < 0.25 * voxel, r_prod

@@ -197,3 +197,32 @@ def test_pallas_band_capture_parity():
     assert np.quantile(err, 0.99) < 0.05
     errw = np.abs(cx[1][..., both] - cp[1][..., both])
     assert np.quantile(errw / 7.0, 0.99) < 0.05
+
+
+def test_track_volume_band_with_exact_refinement():
+    """The optional exact-refinement pass (TrackConfig.refine_points;
+    default off — see config.py for the measured subset-instability
+    notes) must run and land at least as close to the gather-capture
+    pose as the plain band LM does on this smooth scene."""
+    from emfusion_tpu.tracking import TrackConfig, track_volume
+
+    s = _scene()
+    SB, LB = bc.grid_dims_for(s["h"], s["w"])
+    init = np.eye(4, dtype=np.float32)
+    init[:3, :3] = np.asarray(s["Rm"])
+    init[:3, 3] = np.asarray(s["tv"])
+    args = (s["vols"][0], s["vols"][1], s["voxel"], s["pts"],
+            jnp.ones((s["pts"].shape[1],), jnp.float32),
+            jnp.asarray(init))
+    band_args = (s["intr"], s["h"], s["w"], SB, LB, (2, 1, 0), "xla")
+    cfg_g = TrackConfig(max_iter=12, sampler="capture",
+                        capture_backend="gather")
+    cfg_r = TrackConfig(max_iter=12, sampler="capture",
+                        capture_backend="band",
+                        refine_points=10000, refine_iters=6)
+    pose_g, _ = track_volume(*args, cfg_g)
+    pose_r, st_r = track_volume(*args, cfg_r, band_args=band_args)
+    pg, pr = np.asarray(pose_g), np.asarray(pose_r)
+    assert int(st_r["iterations"]) > 0
+    # full-point exact refinement: tighter than the band-only bound
+    assert np.linalg.norm(pg[:3, 3] - pr[:3, 3]) < 0.25 * s["voxel"]
