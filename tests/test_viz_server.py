@@ -91,3 +91,52 @@ def test_404_and_close():
         assert raised
     finally:
         viewer.close()
+
+
+def test_scene_mesh_endpoints():
+    """The navigable 3-D scene endpoints (r5 — the actual cv::viz
+    mesh-scene analogue): /scene serves the inline WebGL viewer,
+    /mesh.bin the packed mesh payload (parsed here against its format
+    spec), /mesh.ply a loadable PLY."""
+    import struct
+
+    scene = SyntheticScene(
+        H=120, W=160, f=130.0, floor_y=0.75,
+        bg_spheres=((np.array([-0.45, 0.05, 1.3]), 0.35),),
+        obj_sphere_r=0.0)
+    params = Params(frameSize=(160, 120), fx=130.0, fy=130.0,
+                    cx=79.5, cy=59.5,
+                    globalVolumeDims=(64, 64, 64),
+                    globalVoxelSize=2.56 / 64,
+                    volumePose=(0.0, 0.0, 1.28),
+                    objVolumeDims=(16, 16, 16), max_objects=2)
+    pipe = EMFusionPipeline(params, None)
+    depth, _ = scene.render(np.eye(4, dtype=np.float32),
+                            np.array([9.0, 9.0, 9.0]))
+    pipe.process_frame(None, depth)
+    pipe.flush()
+
+    viewer = LiveViewer(pipe, port=0, host="127.0.0.1")
+    try:
+        st, ct, body = _get(viewer.port, "/scene")
+        assert st == 200 and b"webgl" in body.lower()
+
+        st, ct, body = _get(viewer.port, "/mesh.bin")
+        assert st == 200
+        nm = struct.unpack_from("<I", body, 0)[0]
+        assert nm >= 1
+        nv, nt = struct.unpack_from("<II", body, 4)
+        assert nv > 100 and nt > 100
+        verts = np.frombuffer(body, "<f4", count=nv * 3, offset=12
+                              ).reshape(nv, 3)
+        # bg mesh is in WORLD coordinates: the fused sphere/floor sit
+        # in front of the camera around z ~ 1-2 m
+        assert 0.0 < np.median(verts[:, 2]) < 3.0
+        tris = np.frombuffer(body, "<u4", count=nt * 3,
+                             offset=12 + nv * 24).reshape(nt, 3)
+        assert tris.max() < nv
+
+        st, ct, body = _get(viewer.port, "/mesh.ply")
+        assert st == 200 and body.startswith(b"ply")
+    finally:
+        viewer.close()
