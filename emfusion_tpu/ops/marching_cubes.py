@@ -551,20 +551,40 @@ def extract_mesh_sparse(tsdf, mask, voxel_size,
                 continue
             results[z0] = (verts_b, norms_b, tris_b, nv, nt)
 
+    # Per-band BUCKETED slices with pipelined async host copies, then
+    # host-side concatenation/rebasing. Two constraints force this
+    # shape (both measured r5): sequential fetches cost a ~25-30 ms
+    # relay round trip EACH (async copies pipeline ~30x better), and
+    # every distinct device graph shape — including a concatenate
+    # whose input-length COMBINATION changed — recompiles through the
+    # relay's AOT helper at seconds each. Bucketed per-band slice
+    # shapes come from a ~16-element set and stay cached.
+    fetches = []
     for z0 in sorted(results):
         v, n, t, nv, nt = results[z0]
-        vs_list.append(v[:nv])
-        ns_list.append(n[:nv])
-        ts_list.append(t[:nt].astype(jnp.int32) + jnp.int32(vofs))
+        bv = min(_bucket(nv, 16384), v.shape[0])
+        bt = min(_bucket(nt, 32768), t.shape[0])
+        vv, nn, tt = v[:bv], n[:bv].astype(jnp.float32), t[:bt]
+        for a in (vv, nn, tt):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        fetches.append((vv, nn, tt, nv, nt))
+
+    for vv, nn, tt, nv, nt in fetches:
+        vs_list.append(np.asarray(vv)[:nv])
+        ns_list.append(np.asarray(nn)[:nv])
+        ts_list.append(np.asarray(tt)[:nt].astype(np.int64) + vofs)
         vofs += nv
 
     if not vs_list:
         return (np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.int32))
-    verts = np.asarray(jnp.concatenate(vs_list))
-    norms = np.asarray(jnp.concatenate(ns_list).astype(jnp.float32))
-    tris = np.asarray(jnp.concatenate(ts_list)).astype(np.int64)
+    verts = np.concatenate(vs_list)
+    norms = np.concatenate(ns_list)
+    tris = np.concatenate(ts_list)
     if len(verts) > max_verts or len(tris) > max_tris:
         verts = verts[:max_verts]
         norms = norms[:max_verts]
@@ -572,82 +592,70 @@ def extract_mesh_sparse(tsdf, mask, voxel_size,
     return verts, norms, tris.astype(np.int32)
 
 
+def _bucket(n: int, q: int = 8192) -> int:
+    """Quantize a fetch length to a small shape set: every DISTINCT
+    host-slice shape compiles a new executable (through this image's
+    relay AOT helper that costs seconds) — data-dependent exact-length
+    fetches recompiled EVERY frame (measured: the 16-object stress
+    export spent ~20 s/frame in compiles). Max ~20 shapes per cap."""
+    return min(-(-max(n, 1) // q) * q, 1 << 62)
+
+
 @functools.partial(jax.jit, static_argnames=("max_verts", "max_tris"))
-def _pack_pool_meshes(tsdf_pool, grads_pool, mask_pool, voxel_sizes,
-                      max_verts: int, max_tris: int):
-    """Marching cubes over an object POOL with device-side packing.
-
-    Runs the per-slot extraction (static unroll over the pool) and
-    compacts every slot's valid vertices/normals/triangles into one
-    contiguous buffer with per-slot offsets, so the host fetches the
-    WHOLE pool's meshes in a single sliced device->host copy. On a
-    tunneled device each ``np.asarray`` costs a full round trip
-    (~25-30 ms); the per-object loop paid 3 fetches x K objects per
-    frame — the 16-object stress leg spent more time on fetch RTTs
-    than on the entire SLAM frame (r5 measurement).
-
-    Returns (verts (K*max_verts, 3), norms, tris (K*max_tris, 3),
-    counts (K, 2) int32 [num_verts, num_tris]); slot k's rows start at
-    offset[k] = cumsum of previous slots' counts, and triangles are
-    already rebased to the packed vertex numbering.
-    """
+def _pool_mc(tsdf_pool, grads_pool, mask_pool, voxel_sizes,
+             max_verts: int, max_tris: int):
+    """Marching cubes over an object POOL in ONE program (static
+    unroll; a 64^3 dense extraction is ~0.1 ms on device — dispatch
+    and fetch round trips dominated the per-object loop)."""
     K = tsdf_pool.shape[0]
-    vcap = K * max_verts
-    tcap = K * max_tris
-    verts = jnp.zeros((vcap, 3), jnp.float32)
-    norms = jnp.zeros((vcap, 3), jnp.float32)
-    tris = jnp.zeros((tcap, 3), jnp.int32)
+    outs = []
     counts = []
-    voff = jnp.int32(0)
-    toff = jnp.int32(0)
     for k in range(K):
-        out = marching_cubes(tsdf_pool[k].astype(jnp.float32),
-                             grads_pool[k].astype(jnp.float32),
-                             mask_pool[k], voxel_sizes[k],
-                             max_verts=max_verts, max_tris=max_tris)
-        nv = out["num_verts"].astype(jnp.int32)
-        nt = out["num_tris"].astype(jnp.int32)
-        # zero the unused tail so the packed scatter stays clean, then
-        # deposit at the running offsets
-        ri = jax.lax.broadcasted_iota(jnp.int32, (max_verts, 1), 0)
-        vk = jnp.where(ri < nv, out["vertices"], 0.0)
-        nk = jnp.where(ri < nv, out["normals"], 0.0)
-        ti = jax.lax.broadcasted_iota(jnp.int32, (max_tris, 1), 0)
-        tk = jnp.where(ti < nt, out["triangles"] + voff, 0)
-        verts = jax.lax.dynamic_update_slice(verts, vk, (voff, 0))
-        norms = jax.lax.dynamic_update_slice(norms, nk, (voff, 0))
-        tris = jax.lax.dynamic_update_slice(tris, tk, (toff, 0))
-        counts.append(jnp.stack([nv, nt]))
-        voff = voff + nv
-        toff = toff + nt
-    return verts, norms, tris, jnp.stack(counts)
+        o = marching_cubes(tsdf_pool[k].astype(jnp.float32),
+                           grads_pool[k].astype(jnp.float32),
+                           mask_pool[k], voxel_sizes[k],
+                           max_verts=max_verts, max_tris=max_tris)
+        outs.append((o["vertices"], o["normals"], o["triangles"]))
+        counts.append(jnp.stack([o["num_verts"].astype(jnp.int32),
+                                 o["num_tris"].astype(jnp.int32)]))
+    return outs, jnp.stack(counts)
 
 
 def extract_pool_meshes(tsdf_pool, grads_pool, mask_pool, voxel_sizes,
                         max_verts_per_obj: int = 0):
-    """Host wrapper for :func:`_pack_pool_meshes`: two device fetches
-    total (counts, then the packed slice) regardless of pool size.
+    """Host wrapper for :func:`_pool_mc`: one count fetch, then
+    BUCKETED per-slot slices fetched with pipelined async host copies.
 
-    Returns a list of (verts, norms, tris) numpy triples per slot (the
-    caller filters inactive/empty slots)."""
+    Two relay pathologies this layout dodges (both measured r5):
+    every blocking fetch costs a ~25-30 ms round trip (copies are
+    started async for all slots, then collected), and every DISTINCT
+    host-slice shape compiles a fresh executable through the relay's
+    AOT helper at seconds each (slice lengths quantize to a small
+    bucket set instead of the exact data-dependent counts). Packing
+    the pool into one buffer device-side was measured WORSE: (N, 3)
+    rows lane-pad to 512 B, so the pack copies moved ~50x the payload.
+
+    Returns a list of (verts, norms, tris) numpy triples per slot."""
     K, R = tsdf_pool.shape[0], int(tsdf_pool.shape[1])
-    mv = max_verts_per_obj or 8 * R * R
-    v, n, t, c = _pack_pool_meshes(
+    mv = max_verts_per_obj or 4 * R * R
+    outs, counts = _pool_mc(
         jnp.asarray(tsdf_pool), jnp.asarray(grads_pool),
         jnp.asarray(mask_pool), jnp.asarray(voxel_sizes),
         max_verts=mv, max_tris=2 * mv)
-    c = np.asarray(c)                       # fetch 1: per-slot counts
-    tot_v = int(c[:, 0].sum())
-    tot_t = int(c[:, 1].sum())
-    vh = np.asarray(v[:tot_v])              # fetch 2: packed payload
-    nh = np.asarray(n[:tot_v])
-    th = np.asarray(t[:tot_t])
-    outs = []
-    vo = to = 0
+    c = np.asarray(counts)                 # fetch 1: per-slot counts
+    slices = []
     for k in range(K):
         nv, nt = int(c[k, 0]), int(c[k, 1])
-        outs.append((vh[vo:vo + nv], nh[vo:vo + nv],
-                     th[to:to + nt] - vo))
-        vo += nv
-        to += nt
-    return outs
+        bv = min(_bucket(nv, 4096), mv)
+        bt = min(_bucket(nt, 8192), 2 * mv)
+        v = outs[k][0][:bv]
+        n = outs[k][1][:bv]
+        t = outs[k][2][:bt]
+        for a in (v, n, t):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
+        slices.append((v, n, t, nv, nt))
+    return [(np.asarray(v)[:nv], np.asarray(n)[:nv],
+             np.asarray(t)[:nt]) for v, n, t, nv, nt in slices]
