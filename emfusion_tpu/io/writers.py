@@ -156,17 +156,20 @@ def write_frame_meshes(pipe, path: str, frame: int,
 
     import jax.numpy as jnp
     def emit_objects():
-        # pool-packed extraction: ONE jitted program + two device->host
-        # fetches for ALL objects (each np.asarray costs a full relay
-        # round trip; the per-object loop made the 16-object stress
-        # leg fetch-RTT-bound — ops/marching_cubes.extract_pool_meshes)
+        # pooled dense extraction: ONE jitted program for all slots +
+        # count fetch + bucketed pipelined async payload fetches
+        # (ops/marching_cubes.extract_pool_meshes). Measured tradeoff
+        # (r5): the dense 64^3 emit is scatter-row-bound at ~130
+        # ms/object regardless of content, but per-object SPARSE
+        # extraction pays ~3 blocking relay round trips each and loses
+        # (3.8 s vs 2.2 s for 16 objects); pooled-dense is the best
+        # this tunnel supports.
         from emfusion_tpu.ops.marching_cubes import extract_pool_meshes
         o = pipe.state.objs
         active_slots = [(oid, pipe._slot_of(oid))
                         for oid in pipe.active_object_ids]
         if not active_slots:
             return
-        import jax.numpy as _jnp
         import jax as _jax
         mask_pool = (o.weights > 0) \
             & (_jax.vmap(_fgp)(o.fg_counts) > 0.5) \
