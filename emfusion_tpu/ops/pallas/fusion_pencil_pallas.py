@@ -435,10 +435,11 @@ def integrate_tsdf_pencil_pallas(tsdf, weights, depth, assoc_weights,
     hi/lo matmul chains (~1e-7 relative depth error).
 
     ``x_block``: voxel-x block per program (0 = whole row); the kernel
-    additionally tiles each block into 128-voxel column tiles with
-    exact out-of-frustum skips and static-width column windows
-    (``windowed=False`` disables the skip/window logic — bit-identical
-    output, full-grid matmuls; kept for A/B and parity tests).
+    additionally tiles each block into 128-voxel column tiles whose
+    selection matmuls contract over static-width dynamically-started
+    B-column windows, chosen by ONE whole-program windowed/full branch
+    (``windowed=False`` disables the windows — bit-identical output,
+    full-grid matmuls; kept for A/B and the parity tests).
     """
     # volumes keep their storage dtype (f32 or compressed bf16); the
     # kernel reads/writes that dtype and computes in f32 in VMEM

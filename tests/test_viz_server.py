@@ -15,9 +15,9 @@ from emfusion_tpu.viz_server import LiveViewer
 from tests.synthetic import SyntheticScene
 
 
-def _get(port, path):
+def _get(port, path, timeout=20):
     with urllib.request.urlopen(
-            f"http://127.0.0.1:{port}{path}", timeout=20) as r:
+            f"http://127.0.0.1:{port}{path}", timeout=timeout) as r:
         return r.status, r.headers.get("Content-Type"), r.read()
 
 
@@ -121,7 +121,9 @@ def test_scene_mesh_endpoints():
         st, ct, body = _get(viewer.port, "/scene")
         assert st == 200 and b"webgl" in body.lower()
 
-        st, ct, body = _get(viewer.port, "/mesh.bin")
+        # mesh extraction takes tens of seconds on an oversubscribed
+        # CI CPU (8 xdist workers) — generous timeout
+        st, ct, body = _get(viewer.port, "/mesh.bin", timeout=180)
         assert st == 200
         nm = struct.unpack_from("<I", body, 0)[0]
         assert nm >= 1
@@ -136,7 +138,7 @@ def test_scene_mesh_endpoints():
                              offset=12 + nv * 24).reshape(nt, 3)
         assert tris.max() < nv
 
-        st, ct, body = _get(viewer.port, "/mesh.ply")
+        st, ct, body = _get(viewer.port, "/mesh.ply", timeout=180)
         assert st == 200 and body.startswith(b"ply")
     finally:
         viewer.close()
